@@ -1,0 +1,53 @@
+"""Kernel-variant registry.
+
+The reference ships N implementation variants per kernel, dispatched by the
+driver program (e.g. biharmonic CPU / gpu_compiler_inline / gpu_push_loop,
+biharmonic_wk_kernel.F90:100-536; nested original / gpu-optimized / k-tiled /
+cke_impl1 / cke_impl2, nested.F90:191-439).  Here variants register under
+(kernel, variant-name) and the harness enumerates them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+_REGISTRY: dict[str, dict[str, "Variant"]] = {}
+
+
+@dataclass(frozen=True)
+class Variant:
+    kernel: str
+    name: str
+    fn: Callable
+    description: str = ""
+    requires_tpu: bool = False
+    supports_f64: bool = True
+
+
+def register(
+    kernel: str,
+    name: str,
+    description: str = "",
+    requires_tpu: bool = False,
+    supports_f64: bool = True,
+):
+    def deco(fn):
+        _REGISTRY.setdefault(kernel, {})[name] = Variant(
+            kernel, name, fn, description, requires_tpu, supports_f64
+        )
+        return fn
+
+    return deco
+
+
+def variants(kernel: str) -> dict[str, "Variant"]:
+    return dict(_REGISTRY.get(kernel, {}))
+
+
+def get(kernel: str, name: str) -> "Variant":
+    return _REGISTRY[kernel][name]
+
+
+def kernels() -> list[str]:
+    return sorted(_REGISTRY)

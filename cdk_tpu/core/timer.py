@@ -1,0 +1,83 @@
+"""Accumulating wall-clock timers.
+
+TPU-native analog of the reference timer module (reference:
+nested_loops/timerMod.f90:10-127 — Timer type with create/start/stop/print
+accumulating `cpu_time`).  Differences forced by the execution model:
+JAX dispatch is asynchronous, so `stop()` optionally blocks on device work
+(`block_until_ready`) before reading the clock — the analog of the
+reference's `!$acc wait` before `system_clock`
+(mmf-mpdata-tracer/advect_scalar2D…F90:109-110,237-238).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+
+
+@dataclass
+class Timer:
+    name: str
+    start_time: float = 0.0
+    elapsed: float = 0.0
+    running: bool = False
+    count: int = 0
+
+    def start(self) -> "Timer":
+        if not self.running:
+            self.running = True
+            self.start_time = time.perf_counter()
+        return self
+
+    def stop(self, wait_for: Any = None) -> float:
+        """Stop the timer, accumulating elapsed time. If `wait_for` is given
+        (a jax array / pytree), block until it is ready first."""
+        if wait_for is not None:
+            jax.block_until_ready(wait_for)
+        if self.running:
+            self.elapsed += time.perf_counter() - self.start_time
+            self.running = False
+            self.count += 1
+        return self.elapsed
+
+    def report(self) -> str:
+        return f" Timer {self.name:<28s}: {self.elapsed: .6f} s"
+
+    def print(self) -> None:
+        print(self.report())
+
+
+@dataclass
+class TimerSet:
+    """A named collection of timers, like the reference driver's
+    timerData/timerOrig/timerGPU set (nested_loops/nested.F90:163-294)."""
+
+    timers: dict[str, Timer] = field(default_factory=dict)
+
+    def __call__(self, name: str) -> Timer:
+        if name not in self.timers:
+            self.timers[name] = Timer(name)
+        return self.timers[name]
+
+    def report(self) -> str:
+        return "\n".join(t.report() for t in self.timers.values())
+
+    def as_dict(self) -> dict[str, float]:
+        return {name: t.elapsed for name, t in self.timers.items()}
+
+
+def time_fn(fn, *args, iters: int = 1, warmup: int = 1) -> tuple[float, Any]:
+    """Time `iters` sequential dispatches of `fn(*args)`, blocking on the
+    final result — the analog of the reference's `do n=1,nIters` timing loops
+    (nested.F90:191-199). Returns (seconds_total, last_result)."""
+    out = None
+    for _ in range(warmup):
+        out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0, out

@@ -1,0 +1,121 @@
+"""Fused-operator biharmonic variant: per-element 16×16 Laplacian matrix.
+
+TPU-first observation: for fixed element matrices (Dvv, Dinv, spheremp,
+tensorVisc), `laplace_sphere_wk` is a LINEAR map on the 16 GLL points of a
+level. So the whole kernel collapses to one batched matmul
+
+    qtens[e, :, col] = L[e] @ qtens[e, :, col],   L[e] ∈ R^{16×16}
+
+with the fused (qsize*nlev) = 2880-column batch on TPU lanes — pure MXU
+work, the highest-throughput formulation possible on this hardware. L[e] is
+built ONCE by probing the trusted reference with the 16 identity basis
+fields (exact, since the operator is linear); the per-step cost is then
+16×16×2880 MACs per element with zero wasted elementwise traffic.
+
+This is the TPU-native analog (and strict improvement) of the reference's
+push-loop restructuring (biharmonic_wk_kernel.F90:369-536), which fuses
+(nlev, qsize) into len=2880 but still walks gradient → visc → divergence as
+three directive kernels.
+
+Also exported: the constant 16×16 stage matrices (A1, A2, B1, B2) of the
+flattened-point formulation used by the structured Pallas kernel. With GLL
+points flattened C-order p = i*np + j:
+    v1 = rr·(Dvvᵀ ⊗ I) s      [gradient x]
+    v2 = rr·(I ⊗ Dvvᵀ) s      [gradient y]
+    out = -rr·[ (Dvv ⊗ I)(sp·vt1) + (I ⊗ Dvv)(sp·vt2) ]  [weak divergence]
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdk_tpu.core.registry import register
+from cdk_tpu.kernels.biharmonic.problem import (
+    BiharmonicData,
+    from_lane_layout,
+    to_lane_layout,
+)
+from cdk_tpu.kernels.biharmonic.reference import laplace_sphere_wk
+
+
+def stage_matrices(dvv: np.ndarray):
+    """Constant 16×16 matrices for the flattened-point (p = i*np + j)
+    formulation of gradient/divergence. Returns (A1, A2, B1, B2)."""
+    n = dvv.shape[0]
+    eye = np.eye(n, dtype=np.float64)
+    dvv = np.asarray(dvv, dtype=np.float64)
+    a1 = np.kron(dvv.T, eye)  # v1 flat = A1 @ s_flat
+    a2 = np.kron(eye, dvv.T)  # v2 flat (stored at [j,l] position)
+    b1 = np.kron(dvv, eye)    # div term 1 on sp*vt1
+    b2 = np.kron(eye, dvv)    # div term 2 on sp*vt2
+    return a1, a2, b1, b2
+
+
+def build_element_operator(dvv, dinv, spheremp, tensorvisc, rrearth) -> jnp.ndarray:
+    """L: (nelemd, npts, npts) with out_flat = L[e] @ s_flat, built by
+    applying the trusted reference to the identity basis (exact for a
+    linear operator)."""
+    n = dvv.shape[0]
+    npts = n * n
+    basis = jnp.eye(npts, dtype=dvv.dtype).reshape(npts, n, n)
+
+    def probe(e_dinv, e_sp, e_tv):
+        # out[b] = laplace applied to basis vector b -> (npts, n, n)
+        out = laplace_sphere_wk(
+            basis, dvv, e_dinv[None], e_sp[None], e_tv[None], rrearth
+        )
+        # L[p_out, p_in] = out[p_in] at flattened p_out
+        return out.reshape(npts, npts).T
+
+    return jax.vmap(probe)(dinv, spheremp, tensorvisc)
+
+
+def apply_operator(L: jnp.ndarray, q_lane: jnp.ndarray) -> jnp.ndarray:
+    """q_lane: (e, npts, ncol) -> L[e] @ q_lane[e] batched on MXU."""
+    return jnp.einsum(
+        "eop,epc->eoc", L, q_lane, preferred_element_type=q_lane.dtype
+    )
+
+
+@register(
+    "biharmonic",
+    "fused_operator",
+    "per-element 16x16 fused Laplacian matrix applied as one batched MXU "
+    "matmul over the 2880-wide lane batch (TPU-native fusion of the "
+    "reference push-loop, biharmonic_wk_kernel.F90:369-536)",
+)
+def make_fused_operator(cfg):
+    rr = cfg.np_dtype(cfg.rrearth)
+
+    @jax.jit
+    def step(data: BiharmonicData) -> jnp.ndarray:
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        out = apply_operator(L, to_lane_layout(data.qtens))
+        return from_lane_layout(out, cfg)
+
+    return step
+
+
+def make_fused_operator_prebuilt(cfg):
+    """Two-phase form for benchmarking: setup() builds L once (analog of the
+    reference's untimed data staging), step applies it."""
+    rr = cfg.np_dtype(cfg.rrearth)
+
+    @jax.jit
+    def setup(data: BiharmonicData):
+        return (
+            build_element_operator(
+                data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+            ),
+            to_lane_layout(data.qtens),
+        )
+
+    @jax.jit
+    def step(L, q_lane):
+        return apply_operator(L, q_lane)
+
+    return setup, step
