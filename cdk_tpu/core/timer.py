@@ -69,6 +69,17 @@ class TimerSet:
         return {name: t.elapsed for name, t in self.timers.items()}
 
 
+def best_of(fn, *args, iters: int = 20, trials: int = 5, warmup: int = 3) -> float:
+    """Best (min) per-call seconds over `trials` timing runs of `iters`
+    dispatches each. Min-of-trials filters the scheduling noise of remote
+    TPU dispatch."""
+    best = float("inf")
+    for t in range(trials):
+        sec, _ = time_fn(fn, *args, iters=iters, warmup=warmup if t == 0 else 1)
+        best = min(best, sec / iters)
+    return best
+
+
 def time_fn(fn, *args, iters: int = 1, warmup: int = 1) -> tuple[float, Any]:
     """Time `iters` sequential dispatches of `fn(*args)`, blocking on the
     final result — the analog of the reference's `do n=1,nIters` timing loops

@@ -21,13 +21,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cdk_tpu.core.platform import pallas_interpret
 from cdk_tpu.core.registry import register
-from cdk_tpu.kernels.biharmonic.operator import stage_matrices
 from cdk_tpu.kernels.biharmonic.problem import (
     BiharmonicData,
     from_lane_layout,
@@ -77,7 +75,21 @@ def pack_element_fields(dinv, spheremp, tensorvisc) -> jnp.ndarray:
     return jnp.stack([r.reshape(e, npts) for r in rows], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("rrearth", "interpret"))
+def stage_matrices_jnp(dvv: jnp.ndarray) -> jnp.ndarray:
+    """(4, npts, npts) stacked [A1, A2, B1, B2] built on-device (see
+    operator.stage_matrices for the derivation)."""
+    n = dvv.shape[0]
+    eye = jnp.eye(n, dtype=dvv.dtype)
+    return jnp.stack(
+        [
+            jnp.kron(dvv.T, eye),
+            jnp.kron(eye, dvv.T),
+            jnp.kron(dvv, eye),
+            jnp.kron(eye, dvv),
+        ]
+    )
+
+
 def _run(consts, elem_packed, q_lane, rrearth, interpret):
     nelemd, npts, ncol = q_lane.shape
     return pl.pallas_call(
@@ -98,15 +110,22 @@ def _run(consts, elem_packed, q_lane, rrearth, interpret):
     )(consts, elem_packed, q_lane)
 
 
-def biharmonic_pallas(data: BiharmonicData, rrearth: float) -> jnp.ndarray:
-    """Apply the fused Pallas weak Laplacian; returns qtens-layout output."""
+@functools.partial(jax.jit, static_argnames=("rrearth", "interpret"))
+def _step(data: BiharmonicData, rrearth: float, interpret: bool) -> jnp.ndarray:
+    """One fused executable: setup (stage matrices, element packing, layout
+    transform) + the Pallas kernel, traced once per shape/dtype."""
     dt = data.qtens.dtype
-    a1, a2, b1, b2 = stage_matrices(np.asarray(data.dvv, np.float64))
-    consts = jnp.asarray(np.stack([a1, a2, b1, b2]), dt)
-    elem_packed = pack_element_fields(data.dinv, data.spheremp, data.tensorvisc)
+    consts = stage_matrices_jnp(data.dvv).astype(dt)
+    elem_packed = pack_element_fields(
+        data.dinv, data.spheremp, data.tensorvisc
+    ).astype(dt)
     q_lane = to_lane_layout(data.qtens)
-    out = _run(consts, elem_packed, q_lane, float(rrearth), pallas_interpret())
-    return out
+    return _run(consts, elem_packed, q_lane, rrearth, interpret)
+
+
+def biharmonic_pallas(data: BiharmonicData, rrearth: float) -> jnp.ndarray:
+    """Apply the fused Pallas weak Laplacian; returns lane-layout output."""
+    return _step(data, float(rrearth), pallas_interpret())
 
 
 @register(
@@ -119,8 +138,10 @@ def biharmonic_pallas(data: BiharmonicData, rrearth: float) -> jnp.ndarray:
 )
 def make_pallas_fused(cfg):
     rr = float(cfg.rrearth)
+    interpret = pallas_interpret()
 
+    @jax.jit
     def step(data: BiharmonicData) -> jnp.ndarray:
-        return from_lane_layout(biharmonic_pallas(data, rr), cfg)
+        return from_lane_layout(_step(data, rr, interpret), cfg)
 
     return step
