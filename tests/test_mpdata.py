@@ -1,0 +1,213 @@
+"""MPDATA kernel: jnp reference vs an independent scalar-loop numpy oracle
+written directly from the staged algorithm semantics (Fortran-style 1-based
+indexing with explicit offsets), then optimized variants vs the reference —
+the reference driver's own protocol (advect_scalar2D…F90:48-67)."""
+
+import numpy as np
+import pytest
+
+from cdk_tpu.core.config import MpdataConfig, with_overrides
+from cdk_tpu.core.norms import rel_l1
+from cdk_tpu.kernels.mpdata import problem, reference
+
+SMALL = with_overrides(MpdataConfig(), nslices=3, nx=6, nz=9)
+
+
+def oracle_advect(f, u, w, rho, rhow, adz, flux_in):
+    """Scalar-loop MPDATA step, Fortran index conventions: f(i=-2..nx+3),
+    u(i=-1..nx+3), w(i=-1..nx+2, k=1..nz), all k=1..nzm unless noted."""
+    s, fx, nzm = f.shape
+    nx, nz = fx - 6, nzm + 1
+    eps = 1.0e-10
+
+    # Fortran-indexed accessors (python storage offsets: f:+2, u/w:+1, k:-1)
+    F = lambda sl, i, k: f[sl, i + 2, k - 1]
+    U = lambda sl, i, k: u[sl, i + 1, k - 1]
+    W = lambda sl, i, k: w[sl, i + 1, k - 1]
+
+    pp = lambda y: max(0.0, y)
+    pn = lambda y: -min(0.0, y)
+    andiff = lambda x1, x2, a, b: (abs(a) - a * a * b) * 0.5 * (x2 - x1)
+    across = lambda x1, a1, a2: 0.03125 * a1 * a2 * x1
+
+    f = f.copy()
+    mx = np.zeros((s, nx + 2, nzm))
+    mn = np.zeros((s, nx + 2, nzm))
+    uuu = np.zeros((s, nx + 5, nzm))
+    www = np.zeros((s, nx + 4, nz))
+    flux = flux_in.copy()
+
+    for sl in range(s):
+        irho = 1.0 / rho[sl]
+        iadz = 1.0 / adz[sl]
+        # stage 1: extrema
+        for k in range(1, nzm + 1):
+            kc, kb = min(nzm, k + 1), max(1, k - 1)
+            for i in range(0, nx + 2):
+                vals = [F(sl, i - 1, k), F(sl, i + 1, k), F(sl, i, kb),
+                        F(sl, i, kc), F(sl, i, k)]
+                mx[sl, i, k - 1] = max(vals)
+                mn[sl, i, k - 1] = min(vals)
+        # stage 2: upwind fluxes
+        for k in range(1, nzm + 1):
+            kb = max(1, k - 1)
+            for i in range(-1, nx + 4):
+                uuu[sl, i + 1, k - 1] = (max(0.0, U(sl, i, k)) * F(sl, i - 1, k)
+                                         + min(0.0, U(sl, i, k)) * F(sl, i, k))
+            for i in range(-1, nx + 3):
+                www[sl, i + 1, k - 1] = (max(0.0, W(sl, i, k)) * F(sl, i, kb)
+                                         + min(0.0, W(sl, i, k)) * F(sl, i, k))
+            flux[sl, k - 1] = sum(www[sl, i + 1, k - 1] for i in range(1, nx + 1))
+        # www(:, nz) = 0 (set before stage 3 reads it)
+        www[sl, :, nz - 1] = 0.0
+        # stage 3: upwind update over i=-1..nx+2
+        for k in range(1, nzm + 1):
+            for i in range(-1, nx + 3):
+                f[sl, i + 2, k - 1] -= (
+                    uuu[sl, i + 2, k - 1] - uuu[sl, i + 1, k - 1]
+                    + (www[sl, i + 1, k] - www[sl, i + 1, k - 1]) * iadz[k - 1]
+                ) * irho[k - 1]
+        # stage 4: antidiffusive velocities
+        for k in range(1, nzm + 1):
+            kc, kb = min(nzm, k + 1), max(1, k - 1)
+            irhow_k = 1.0 / (rhow[sl, k - 1] * adz[sl, k - 1])
+            dd = 2.0 / (kc - kb) / adz[sl, k - 1]
+            for i in range(0, nx + 3):
+                ib = i - 1
+                uuu[sl, i + 1, k - 1] = andiff(
+                    F(sl, ib, k), F(sl, i, k), U(sl, i, k), irho[k - 1]
+                ) - across(
+                    dd * (F(sl, ib, kc) + F(sl, i, kc)
+                          - F(sl, ib, kb) - F(sl, i, kb)),
+                    U(sl, i, k),
+                    W(sl, ib, k) + W(sl, ib, kc) + W(sl, i, k) + W(sl, i, kc),
+                ) * irho[k - 1]
+            for i in range(0, nx + 2):
+                ib, ic = i - 1, i + 1
+                www[sl, i + 1, k - 1] = andiff(
+                    F(sl, i, kb), F(sl, i, k), W(sl, i, k), irhow_k
+                ) - across(
+                    F(sl, ic, kb) + F(sl, ic, k) - F(sl, ib, kb) - F(sl, ib, k),
+                    W(sl, i, k),
+                    U(sl, i, kb) + U(sl, i, k) + U(sl, ic, k) + U(sl, ic, kb),
+                ) * irho[k - 1]
+        www[sl, :, 0] = 0.0
+        # stage 5a: second extrema with updated f
+        for k in range(1, nzm + 1):
+            kc, kb = min(nzm, k + 1), max(1, k - 1)
+            for i in range(0, nx + 2):
+                vals = [F(sl, i - 1, k), F(sl, i + 1, k), F(sl, i, kb),
+                        F(sl, i, kc), F(sl, i, k)]
+                mx[sl, i, k - 1] = max(mx[sl, i, k - 1], max(vals))
+                mn[sl, i, k - 1] = min(mn[sl, i, k - 1], min(vals))
+        # stage 5b: ratios
+        for k in range(1, nzm + 1):
+            kc = min(nzm, k + 1)
+            for i in range(0, nx + 2):
+                uo = pn(uuu[sl, i + 2, k - 1]) + pp(uuu[sl, i + 1, k - 1])
+                wo = pn(www[sl, i + 1, kc - 1]) + pp(www[sl, i + 1, k - 1])
+                mx[sl, i, k - 1] = (rho[sl, k - 1]
+                                    * (mx[sl, i, k - 1] - F(sl, i, k))
+                                    / (uo + iadz[k - 1] * wo + eps))
+                ui = pp(uuu[sl, i + 2, k - 1]) + pn(uuu[sl, i + 1, k - 1])
+                wi = pp(www[sl, i + 1, kc - 1]) + pn(www[sl, i + 1, k - 1])
+                mn[sl, i, k - 1] = (rho[sl, k - 1]
+                                    * (F(sl, i, k) - mn[sl, i, k - 1])
+                                    / (ui + iadz[k - 1] * wi + eps))
+        # stage 5c: limit fluxes
+        for k in range(1, nzm + 1):
+            kb = max(1, k - 1)
+            for i in range(1, nx + 2):
+                v = uuu[sl, i + 1, k - 1]
+                uuu[sl, i + 1, k - 1] = (
+                    pp(v) * min(1.0, mx[sl, i, k - 1], mn[sl, i - 1, k - 1])
+                    - pn(v) * min(1.0, mx[sl, i - 1, k - 1], mn[sl, i, k - 1])
+                )
+            for i in range(1, nx + 1):
+                v = www[sl, i + 1, k - 1]
+                www[sl, i + 1, k - 1] = (
+                    pp(v) * min(1.0, mx[sl, i, k - 1], mn[sl, i, kb - 1])
+                    - pn(v) * min(1.0, mx[sl, i, kb - 1], mn[sl, i, k - 1])
+                )
+                flux[sl, k - 1] += www[sl, i + 1, k - 1]
+        # stage 6: final update with clip
+        for k in range(1, nzm + 1):
+            for i in range(1, nx + 1):
+                f[sl, i + 2, k - 1] = max(
+                    0.0,
+                    f[sl, i + 2, k - 1] - (
+                        uuu[sl, i + 2, k - 1] - uuu[sl, i + 1, k - 1]
+                        + (www[sl, i + 1, k] - www[sl, i + 1, k - 1])
+                        * iadz[k - 1]
+                    ) * irho[k - 1],
+                )
+    return f, flux
+
+
+@pytest.fixture(scope="module")
+def small_data():
+    return problem.init_data(SMALL)
+
+
+@pytest.fixture(scope="module")
+def small_oracle(small_data):
+    args = [np.asarray(a, np.float64) for a in (
+        small_data.f, small_data.u, small_data.w, small_data.rho,
+        small_data.rhow, small_data.adz, small_data.flux)]
+    return oracle_advect(*args)
+
+
+def test_shapes():
+    d = problem.init_data(SMALL)
+    nx, nz, nzm, s = SMALL.nx, SMALL.nz, SMALL.nzm, SMALL.nslices
+    assert d.f.shape == (s, nx + 6, nzm)
+    assert d.u.shape == (s, nx + 5, nzm)
+    assert d.w.shape == (s, nx + 4, nz)
+    assert d.flux.shape == (s, nz)
+
+
+def test_reference_matches_oracle(small_data, small_oracle):
+    f_ref, flux_ref = small_oracle
+    step = reference.make_reference(SMALL)
+    f_out, flux_out = step(small_data)
+    assert rel_l1(np.asarray(f_out), f_ref) < 1e-14
+    assert rel_l1(np.asarray(flux_out), flux_ref) < 1e-14
+
+
+def test_reference_full_size_runs_and_is_positive():
+    cfg = MpdataConfig()
+    data = problem.init_data(cfg)
+    f_out, flux_out = reference.make_reference(cfg)(data)
+    f_out = np.asarray(f_out)
+    # positive-definite advection: interior f stays non-negative (:630-637)
+    assert (f_out[:, 3:cfg.nx + 3] >= 0.0).all()
+    assert np.isfinite(f_out).all() and np.isfinite(np.asarray(flux_out)).all()
+
+
+def test_flux_nz_passthrough(small_data):
+    """The reference never writes flux(:,nz) (advect…F90:540-547)."""
+    step = reference.make_reference(SMALL)
+    _, flux_out = step(small_data)
+    np.testing.assert_array_equal(
+        np.asarray(flux_out)[:, -1], np.asarray(small_data.flux)[:, -1]
+    )
+
+
+def test_pallas_fused_matches_reference(small_data):
+    from cdk_tpu.kernels.mpdata import pallas_fused
+
+    f_ref, flux_ref = reference.make_reference(SMALL)(small_data)
+    f_out, flux_out = pallas_fused.make_pallas_fused(SMALL)(small_data)
+    assert rel_l1(np.asarray(f_out), np.asarray(f_ref)) < 1e-14
+    assert rel_l1(np.asarray(flux_out), np.asarray(flux_ref)) < 1e-14
+
+
+def test_pallas_fused_full_size_f32():
+    cfg = MpdataConfig(dtype="float32")
+    data = problem.init_data(cfg)
+    from cdk_tpu.kernels.mpdata import pallas_fused
+
+    f_ref, flux_ref = reference.make_reference(cfg)(data)
+    f_out, flux_out = pallas_fused.make_pallas_fused(cfg)(data)
+    assert rel_l1(np.asarray(f_out), np.asarray(f_ref)) < 1e-5
+    assert rel_l1(np.asarray(flux_out), np.asarray(flux_ref)) < 1e-4
