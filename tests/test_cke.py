@@ -1,0 +1,104 @@
+"""CKE kernel: jnp reference vs an independent scalar-loop oracle written
+from the original-form semantics (kmin/kmax bounds, per-edge column temps,
+nested.F90:495-564), then variants vs the reference at the reference's own
+errTol=1e-10 per-point check (nested.F90:267-287)."""
+
+import numpy as np
+import pytest
+
+from cdk_tpu.core.config import CkeConfig, with_overrides
+from cdk_tpu.core.norms import pointwise_check
+from cdk_tpu.kernels.cke import onehot_mxu, problem, reference
+
+SMALL = with_overrides(CkeConfig(), nedges=40, ncells=12, nvertlevels=7, nadv=4)
+
+
+def oracle_edge_flux(data, coef3rdorder):
+    """Scalar-loop original form: per-edge wgt/sgn column temps, gather over
+    contributing cells, k restricted to the cell's [kmin, kmax]."""
+    adv_cells = np.asarray(data.adv_cells)
+    c1 = np.asarray(data.adv_coefs, np.float64)
+    c3a = np.asarray(data.adv_coefs3, np.float64)
+    tracer = np.asarray(data.tracer, np.float64)
+    ntf = np.asarray(data.ntf, np.float64)
+    adv_mask = np.asarray(data.adv_mask, np.float64)
+    kmin = np.asarray(data.min_level)
+    kmax = np.asarray(data.max_level)
+    e, a = adv_cells.shape
+    kv = tracer.shape[1]
+    flx = np.zeros((e, kv))
+    for ie in range(e):
+        wgt = ntf[ie] * adv_mask[ie]
+        sgn = np.where(ntf[ie] >= 0.0, 1.0, -1.0)
+        for i in range(a):
+            ic = adv_cells[ie, i]
+            coef1 = c1[ie, i]
+            coef3 = c3a[ie, i] * coef3rdorder
+            for k in range(kmin[ic], kmax[ic] + 1):
+                flx[ie, k] += tracer[ic, k] * wgt[k] * (coef1 + coef3 * sgn[k])
+    return flx
+
+
+@pytest.fixture(scope="module")
+def small_data():
+    return problem.init_data(SMALL)
+
+
+@pytest.fixture(scope="module")
+def small_oracle(small_data):
+    return oracle_edge_flux(small_data, SMALL.coef3rdorder)
+
+
+def test_init_topography():
+    d = problem.init_data(SMALL)
+    mx = np.asarray(d.max_level)
+    assert (mx >= 2).all() and (mx <= SMALL.nvertlevels - 1).all()
+    tr = np.asarray(d.tracer)
+    cm = np.asarray(d.cell_mask)
+    # tracer is zero exactly where the mask is zero (nested.F90:71-83)
+    assert (tr[cm == 0.0] == 0.0).all()
+    assert (tr[cm == 1.0] >= 0.0).all()
+
+
+def test_reference_matches_oracle(small_data, small_oracle):
+    step = reference.make_reference(SMALL)
+    out = np.asarray(step(small_data))
+    n_bad, max_err, lines = pointwise_check(out, small_oracle, SMALL.errtol)
+    assert n_bad == 0, "\n".join(lines)
+
+
+def test_onehot_matches_reference(small_data):
+    ref = np.asarray(reference.make_reference(SMALL)(small_data))
+    out = np.asarray(onehot_mxu.make_onehot_mxu(SMALL)(small_data))
+    n_bad, max_err, _ = pointwise_check(out, ref, SMALL.errtol)
+    assert n_bad == 0
+
+
+def test_duplicate_cells_accumulate():
+    """Two identical (edge, i) entries must contribute twice (the reference
+    accumulates, nested.F90:545-550)."""
+    d = problem.init_data(SMALL)
+    dup_cells = np.asarray(d.adv_cells).copy()
+    dup_cells[:, 1] = dup_cells[:, 0]
+    import jax.numpy as jnp
+
+    d2 = problem.CkeData(
+        jnp.asarray(dup_cells), d.adv_coefs, d.adv_coefs3, d.tracer,
+        d.cell_mask, d.ntf, d.adv_mask, d.min_level, d.max_level,
+    )
+    ref = np.asarray(reference.make_reference(SMALL)(d2))
+    oracle = oracle_edge_flux(d2, SMALL.coef3rdorder)
+    onehot = np.asarray(onehot_mxu.make_onehot_mxu(SMALL)(d2))
+    assert pointwise_check(ref, oracle, SMALL.errtol)[0] == 0
+    assert pointwise_check(onehot, ref, SMALL.errtol)[0] == 0
+
+
+def test_shipped_namelist_size():
+    """Full nested.nml problem (nIters timing aside): variants agree at
+    errTol on the shipped 25600x2800x100 size."""
+    cfg = CkeConfig()
+    data = problem.init_data(cfg)
+    ref = np.asarray(reference.make_reference(cfg)(data))
+    out = np.asarray(onehot_mxu.make_onehot_mxu(cfg)(data))
+    n_bad, max_err, lines = pointwise_check(out, ref, cfg.errtol)
+    assert n_bad == 0, f"max_err={max_err}\n" + "\n".join(lines[:5])
