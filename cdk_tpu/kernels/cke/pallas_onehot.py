@@ -1,0 +1,129 @@
+"""Fused Pallas CKE kernel: connectivity one-hot built in VMEM, applied on
+the MXU, nothing dense ever touching HBM.
+
+Relation to the other variants (the reference ships N forms of this kernel,
+nested.F90:191-439; we do the same TPU-natively):
+
+  - `reference_jnp` gathers tracer columns with an XLA gather (form-1/2
+    analog).
+  - `onehot_mxu` prebuilds dense (nedges × ncells) connectivity matrices in
+    HBM; each iteration then streams ~2 × 287 MB through the MXU — compute-
+    dense but bandwidth-bound at scale.
+  - THIS kernel rebuilds the one-hot weights per edge-block inside VMEM each
+    iteration from the raw (edge, i) → cell indices (1 MB total), so per-
+    iteration HBM traffic is just the small physical arrays.  It is the
+    analog of cke_impl2's team-scratch staging (cke_impl2.cpp:21-64): the
+    per-edge-block working set (two (EB, ncells) weight tiles + the whole
+    masked tracer field) lives in VMEM scratch for the duration of the
+    block.
+
+Per-program VMEM at f32, EB=128, shipped size (ncells=2800, nvert=100):
+  2 × (128, 2800) weights ≈ 2.9 MB, tracer+mask (2800, 100) ≈ 2.2 MB,
+  in/out edge tiles ≈ 0.2 MB — comfortably resident.
+
+The one-hot build is A (=nAdv) unrolled VPU select-accumulate passes over
+(EB, ncells); the apply is one stacked (2·EB, ncells) @ (ncells, nvert)
+MXU matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cdk_tpu.core.platform import pallas_interpret
+from cdk_tpu.core.registry import register
+from cdk_tpu.kernels.cke.problem import CkeData
+
+
+def _kernel(cells_ref, c1_ref, c3_ref, ntf_ref, advm_ref, t_ref, mask_ref,
+            out_ref, *, coef3rdorder):
+    cells = cells_ref[...]            # (EB, A) int32
+    t = t_ref[...] * mask_ref[...]    # (C, K) masked tracer
+    dt = t.dtype
+    eb, a = cells.shape
+    c = t.shape[0]
+
+    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (eb, c), 1)
+    w1 = jnp.zeros((eb, c), dt)
+    w3 = jnp.zeros((eb, c), dt)
+    c1 = c1_ref[...]
+    c3 = c3_ref[...]
+    for i in range(a):  # static unroll over contributing cells
+        eq = cell_ids == cells[:, i:i + 1]
+        w1 = w1 + jnp.where(eq, c1[:, i:i + 1], jnp.asarray(0, dt))
+        w3 = w3 + jnp.where(eq, c3[:, i:i + 1], jnp.asarray(0, dt))
+
+    s = jnp.dot(
+        jnp.concatenate([w1, w3], axis=0), t, preferred_element_type=dt
+    )
+    s1, s3 = s[:eb], s[eb:]
+    ntf = ntf_ref[...]
+    sgn = jnp.where(ntf >= 0, jnp.asarray(1, dt), jnp.asarray(-1, dt))
+    out_ref[...] = ntf * advm_ref[...] * (s1 + coef3rdorder * s3 * sgn)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("coef3rdorder", "edge_block", "interpret")
+)
+def _run(adv_cells, adv_coefs, adv_coefs3, tracer, cell_mask, ntf, adv_mask,
+         coef3rdorder, edge_block, interpret):
+    e, a = adv_cells.shape
+    c, kv = tracer.shape
+    eb = min(edge_block, e)
+    assert e % eb == 0, f"nedges={e} not divisible by edge block={eb}"
+
+    eblk = lambda d1: pl.BlockSpec((eb, d1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    full = lambda s0, s1: pl.BlockSpec((s0, s1), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, coef3rdorder=coef3rdorder),
+        out_shape=jax.ShapeDtypeStruct((e, kv), tracer.dtype),
+        grid=(e // eb,),
+        in_specs=[
+            eblk(a),            # adv_cells
+            eblk(a),            # adv_coefs
+            eblk(a),            # adv_coefs3
+            eblk(kv),           # ntf
+            eblk(kv),           # adv_mask
+            full(c, kv),        # tracer (whole field, VMEM-resident)
+            full(c, kv),        # cell_mask
+        ],
+        out_specs=eblk(kv),
+        interpret=interpret,
+    )(adv_cells, adv_coefs, adv_coefs3, ntf, adv_mask, tracer, cell_mask)
+
+
+def edge_flux_pallas(data: CkeData, coef3rdorder: float,
+                     edge_block: int = 128) -> jnp.ndarray:
+    return _run(
+        data.adv_cells, data.adv_coefs, data.adv_coefs3, data.tracer,
+        data.cell_mask, data.ntf, data.adv_mask, float(coef3rdorder),
+        edge_block, pallas_interpret(),
+    )
+
+
+@register(
+    "cke",
+    "pallas_onehot",
+    "fused Pallas kernel: per-edge-block one-hot connectivity built in VMEM "
+    "each iteration + stacked MXU matmul against the VMEM-resident tracer "
+    "field (analog of cke_impl2's team-scratch staging)",
+)
+def make_pallas_onehot(cfg):
+    c3 = float(cfg.coef3rdorder)
+    interpret = pallas_interpret()
+
+    @jax.jit
+    def step(data: CkeData) -> jnp.ndarray:
+        return _run(
+            data.adv_cells, data.adv_coefs, data.adv_coefs3, data.tracer,
+            data.cell_mask, data.ntf, data.adv_mask, c3, 128, interpret,
+        )
+
+    return step

@@ -102,3 +102,27 @@ def test_shipped_namelist_size():
     out = np.asarray(onehot_mxu.make_onehot_mxu(cfg)(data))
     n_bad, max_err, lines = pointwise_check(out, ref, cfg.errtol)
     assert n_bad == 0, f"max_err={max_err}\n" + "\n".join(lines[:5])
+
+
+def test_pallas_onehot_matches_reference(small_data):
+    from cdk_tpu.kernels.cke import pallas_onehot
+
+    ref = np.asarray(reference.make_reference(SMALL)(small_data))
+    out = np.asarray(pallas_onehot.make_pallas_onehot(SMALL)(small_data))
+    n_bad, max_err, lines = pointwise_check(out, ref, SMALL.errtol)
+    assert n_bad == 0, f"max_err={max_err}"
+
+
+def test_pallas_onehot_midsize_f32():
+    cfg = with_overrides(
+        CkeConfig(), nedges=512, ncells=300, nvertlevels=40, dtype="float32"
+    )
+    from cdk_tpu.kernels.cke import pallas_onehot
+
+    data = problem.init_data(cfg)
+    ref = np.asarray(reference.make_reference(cfg)(data))
+    out = np.asarray(pallas_onehot.make_pallas_onehot(cfg)(data))
+    # f32 variant vs f32 reference: same-dtype parity, looser than errTol
+    from cdk_tpu.core.norms import rel_l1
+
+    assert rel_l1(out, ref) < 1e-6
