@@ -1,0 +1,96 @@
+"""Command-line driver: `python -m cdk_tpu <cmd> ...`.
+
+Replaces the reference's per-miniapp executables (`./atm`, `./advect`,
+`./nested` — atmosphere/README.md:21, mmf-mpdata-tracer/README.md:21,
+nested_loops/README.md:14) with one CLI:
+
+  python -m cdk_tpu list
+  python -m cdk_tpu run biharmonic|mpdata|cke|all [--dtype float32]
+         [--iters N] [--trials N] [--variant NAME ...] [--json out.json]
+         [--set key=value ...] [--namelist nested.nml]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_set(kvs):
+    out = {}
+    for kv in kvs or []:
+        k, v = kv.split("=", 1)
+        for cast in (int, float):
+            try:
+                v = cast(v)
+                break
+            except ValueError:
+                continue
+        out[k] = v
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cdk_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list kernels and registered variants")
+
+    runp = sub.add_parser("run", help="run a kernel benchmark + verification")
+    runp.add_argument("kernel", choices=["biharmonic", "mpdata", "cke", "all"])
+    runp.add_argument("--dtype", default=None,
+                      choices=["float32", "float64"])
+    runp.add_argument("--iters", type=int, default=10)
+    runp.add_argument("--trials", type=int, default=3)
+    runp.add_argument("--variant", action="append", default=None)
+    runp.add_argument("--json", dest="json_out", default=None)
+    runp.add_argument("--set", dest="sets", action="append", default=None,
+                      metavar="key=value", help="config field override")
+    runp.add_argument("--namelist", default=None,
+                      help="reference-format nested.nml (cke only)")
+
+    args = p.parse_args(argv)
+
+    import cdk_tpu.kernels  # noqa: F401  (registers variants)
+    from cdk_tpu.core import registry
+
+    if args.cmd == "list":
+        for kernel in registry.kernels():
+            print(f"{kernel}:")
+            for name, var in registry.variants(kernel).items():
+                print(f"  {name:<22s} {var.description}")
+        return 0
+
+    from dataclasses import asdict
+
+    from cdk_tpu.core.config import cke_config_from_namelist, with_overrides
+    from cdk_tpu.harness import driver
+    from cdk_tpu.harness.specs import get_spec
+
+    overrides = _parse_set(args.sets)
+    if args.dtype:
+        overrides["dtype"] = args.dtype
+
+    if args.kernel == "all":
+        results = driver.run_all(iters=args.iters, trials=args.trials,
+                                 dtype=args.dtype)
+    else:
+        if args.kernel == "cke" and args.namelist:
+            cfg = cke_config_from_namelist(args.namelist, **overrides)
+        else:
+            cfg = with_overrides(get_spec(args.kernel).default_config(),
+                                 **overrides)
+        res = driver.run_kernel(args.kernel, cfg, variants=args.variant,
+                                iters=args.iters, trials=args.trials)
+        results = {"kernels": {args.kernel: [asdict(r) for r in res]}}
+
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            fh.write(driver.to_json(results))
+        print(f"wrote {args.json_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

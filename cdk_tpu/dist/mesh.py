@@ -1,0 +1,46 @@
+"""Device mesh setup for domain-decomposed runs.
+
+The reference links MPI but never communicates — "plan was to add some MPI
+parallelism later" (nested_loops/README.md:29-31, nested.F90:41-43,468-470).
+This module supplies what was deferred, the TPU-native way: a 1-D
+`jax.sharding.Mesh` over the horizontal-domain axis (elements for
+biharmonic, x-columns for mpdata, edges for cke), with multi-host bring-up
+via `jax.distributed.initialize` when running under a multi-process
+launcher."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DOMAIN_AXIS = "x"
+
+
+def init_multihost() -> None:
+    """Initialize the JAX multi-controller runtime when launched as one
+    process per host (no-op for single-process runs)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(n_devices: int | None = None, axis: str = DOMAIN_AXIS) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def domain_sharding(mesh: Mesh, rank: int, sharded_dim: int = 0):
+    """NamedSharding splitting `sharded_dim` of a rank-`rank` array over the
+    mesh's domain axis, replicating the rest."""
+    spec = [None] * rank
+    spec[sharded_dim] = mesh.axis_names[0]
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())

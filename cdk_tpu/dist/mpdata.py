@@ -1,0 +1,281 @@
+"""Domain-decomposed MPDATA: x-column decomposition with halo exchange.
+
+The reference defers all horizontal decomposition ("plan was to add some MPI
+parallelism later", nested_loops/README.md:29-31); its MPDATA miniapp scales
+only the per-node slice batch.  This module supplies the deferred
+capability the TPU-native way (SURVEY §5 "long-context analog"):
+
+  - the global x axis is split into contiguous owned chunks over a 1-D
+    `Mesh`;
+  - each step, every shard exchanges H halo columns with its neighbors via
+    `lax.ppermute` (collective-permute over ICI) inside `shard_map`;
+  - each shard then runs the *masked-global* MPDATA core on its extended
+    (owned + 2H) columns and keeps the owned slice.
+
+Masked-global core: the single-device reference (reference.advect_scalar2d)
+realizes the Fortran loops' x-range restrictions *positionally*
+(concatenation at fixed offsets).  That formulation can't be cut at an
+arbitrary x: a shard's local array edge would get boundary treatment that
+belongs only to the true domain edge.  `advect_scalar2d_masked` instead
+computes every stage with uniform stencils over ALL columns (collocated
+layout: f, u, w all on one x grid) and applies each Fortran range
+restriction as a `where` on the column's GLOBAL Fortran index — so a shard
+holding any window of global columns computes exactly the global values for
+its owned region, provided H ≥ 3 (the f→f_out stencil dependency depth:
+f_out(i) reads f(i±3)).  H defaults to 4 for margin.
+
+Domain flux sums (flux(k) = Σ_{i=1..nx}, advect…F90:540-547,613-628) become
+owned-column partial sums + `lax.psum`.
+
+Collocated layout: column ix holds Fortran index gi = ix − 2 of f; u(gi)
+and w(gi) are stored at the same ix (u valid gi ∈ [-1, nx+3] → ix ≥ 1,
+w valid gi ∈ [-1, nx+2]; unused slots are zero)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cdk_tpu.kernels.mpdata.problem import MpdataData
+from cdk_tpu.kernels.mpdata.reference import (
+    EPS,
+    _across,
+    _andiff,
+    _kb,
+    _kc,
+    _min3,
+    _pn,
+    _pp,
+)
+
+HALO = 4  # ≥ 3 required (stencil depth), 4 for margin
+
+
+def _xl(a):
+    """Left-neighbor read along x: out[ix] = a[ix-1] (clamped at 0)."""
+    return jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+
+
+def _xr(a):
+    """Right-neighbor read along x: out[ix] = a[ix+1] (clamped at end)."""
+    return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+
+
+def advect_scalar2d_masked(f, u, w, rho, rhow, adz, gi, owned, nx,
+                           kspan=None):
+    """Masked-global MPDATA step on collocated (S, X, Z) arrays.
+
+    gi:    (X,) int32 — global Fortran i of each column
+    owned: (X,) bool  — columns whose outputs this shard owns (flux sums
+           count only owned columns; f is returned for all columns but only
+           owned ones are meaningful)
+    Returns (f_out (S,X,nzm), flux_body (S,nzm) partial sum over owned).
+    """
+    s, X, nzm = f.shape
+
+    def m(lo, hi):
+        return ((gi >= lo) & (gi <= hi))[None, :, None]
+
+    irho = (1.0 / rho)[:, None, :]
+    iadz = (1.0 / adz)[:, None, :]
+    if kspan is None:
+        k1 = jnp.arange(nzm)
+        kspan = (
+            jnp.minimum(nzm - 1, k1 + 1) - jnp.maximum(0, k1 - 1)
+        ).astype(f.dtype)
+    dd = 2.0 / jnp.reshape(kspan, (1, 1, nzm)) / adz[:, None, :]
+    irhow = (1.0 / (rhow[..., :nzm] * adz))[:, None, :]
+    w_s = w[..., :nzm]
+    one = jnp.asarray(1.0, f.dtype)
+    fmask = (m(1, nx) & owned[None, :, None])
+
+    # stage 1: extrema (valid gi in [0, nx+1])
+    lf, rf = _xl(f), _xr(f)
+    mx = jnp.maximum(jnp.maximum(jnp.maximum(lf, rf),
+                                 jnp.maximum(_kb(f), _kc(f))), f)
+    mn = jnp.minimum(jnp.minimum(jnp.minimum(lf, rf),
+                                 jnp.minimum(_kb(f), _kc(f))), f)
+
+    # stage 2: upwind fluxes (uuu valid gi in [-1,nx+3], www in [-1,nx+2])
+    uuu = _pp(u) * lf - _pn(u) * f
+    www_k = _pp(w_s) * _kb(f) - _pn(w_s) * f
+    flux = jnp.sum(jnp.where(fmask, www_k, 0.0), axis=1)
+    www_kp1 = jnp.concatenate(  # www(k+1) with www(:,nz)=0 top boundary
+        [www_k[..., 1:], jnp.zeros_like(www_k[..., :1])], axis=-1
+    )
+
+    # stage 3: upwind update (gi in [-1, nx+2])
+    upd = (_xr(uuu) - uuu + (www_kp1 - www_k) * iadz) * irho
+    f1 = jnp.where(m(-1, nx + 2), f - upd, f)
+
+    # stage 4: antidiffusive velocities
+    lf1, rf1 = _xl(f1), _xr(f1)
+    lw = _xl(w_s)
+    uuu2_b = _andiff(lf1, f1, u, irho) - _across(
+        dd * (_kc(lf1) + _kc(f1) - _kb(lf1) - _kb(f1)),
+        u,
+        lw + _kc(lw) + w_s + _kc(w_s),
+    ) * irho
+    uuu2 = jnp.where(m(0, nx + 2), uuu2_b, uuu)
+    ru = _xr(u)
+    www2_b = _andiff(_kb(f1), f1, w_s, irhow) - _across(
+        _kb(rf1) + rf1 - _kb(lf1) - lf1,
+        w_s,
+        _kb(u) + u + ru + _kb(ru),
+    ) * irho
+    www2_k = jnp.where(m(0, nx + 1), www2_b, www_k)
+    # bottom boundary www(:,:,1)=0 (:586)
+    www2_k = jnp.concatenate(
+        [jnp.zeros_like(www2_k[..., :1]), www2_k[..., 1:]], axis=-1
+    )
+
+    # stage 5a: second extrema with updated f
+    mx = jnp.maximum(jnp.maximum(jnp.maximum(lf1, rf1),
+                                 jnp.maximum(_kb(f1), _kc(f1))),
+                     jnp.maximum(f1, mx))
+    mn = jnp.minimum(jnp.minimum(jnp.minimum(lf1, rf1),
+                                 jnp.minimum(_kb(f1), _kc(f1))),
+                     jnp.minimum(f1, mn))
+
+    # stage 5b: in/out flux ratios (valid gi in [0, nx+1])
+    ruuu2 = _xr(uuu2)
+    wkc = _kc(www2_k)
+    rho_b = rho[:, None, :]
+    mxr = rho_b * (mx - f1) / (
+        _pn(ruuu2) + _pp(uuu2) + iadz * (_pn(wkc) + _pp(www2_k)) + EPS
+    )
+    mnr = rho_b * (f1 - mn) / (
+        _pp(ruuu2) + _pn(uuu2) + iadz * (_pp(wkc) + _pn(www2_k)) + EPS
+    )
+
+    # stage 5c: limit fluxes (uuu gi in [1, nx+1], www gi in [1, nx])
+    lmxr, lmnr = _xl(mxr), _xl(mnr)
+    uuu3 = jnp.where(
+        m(1, nx + 1),
+        _pp(uuu2) * _min3(one, mxr, lmnr) - _pn(uuu2) * _min3(one, lmxr, mnr),
+        uuu2,
+    )
+    www3_b = (_pp(www2_k) * _min3(one, mxr, _kb(mnr))
+              - _pn(www2_k) * _min3(one, _kb(mxr), mnr))
+    www3_k = jnp.where(m(1, nx), www3_b, www2_k)
+    flux = flux + jnp.sum(jnp.where(fmask, www3_b, 0.0), axis=1)
+
+    # stage 6: final update with positive clip (gi in [1, nx])
+    www3_kp1 = jnp.concatenate(
+        [www3_k[..., 1:], jnp.zeros_like(www3_k[..., :1])], axis=-1
+    )
+    upd6 = (_xr(uuu3) - uuu3 + (www3_kp1 - www3_k) * iadz) * irho
+    f_out = jnp.where(m(1, nx), jnp.maximum(0.0, f1 - upd6), f1)
+    return f_out, flux
+
+
+def to_collocated(data: MpdataData):
+    """-> (f, u_g, w_g) on the common x grid (S, nx+6, ·); u/w are padded
+    with zeros at the collocated slots where they are undefined."""
+    s, fx, nzm = data.f.shape
+    nx = fx - 6
+    z = jnp.zeros((s, 1, nzm), data.f.dtype)
+    zw = jnp.zeros((s, 1, nzm + 1), data.f.dtype)
+    u_g = jnp.concatenate([z, data.u], axis=1)                 # gi ≥ -1
+    w_g = jnp.concatenate([zw, data.w, zw], axis=1)            # gi in [-1,nx+2]
+    return data.f, u_g, w_g
+
+
+def advect_masked_global(data: MpdataData):
+    """Single-device entry: masked core on the full global grid — must match
+    reference.advect_scalar2d bitwise on f (tested)."""
+    f, u_g, w_g = to_collocated(data)
+    nx = f.shape[1] - 6
+    gi = jnp.arange(f.shape[1], dtype=jnp.int32) - 2
+    owned = jnp.ones(f.shape[1], dtype=bool)
+    f_out, flux = advect_scalar2d_masked(
+        f, u_g, w_g, data.rho, data.rhow, data.adz, gi, owned, nx
+    )
+    nzm = f.shape[-1]
+    flux_out = jnp.concatenate([flux, data.flux[:, nzm:]], axis=-1)
+    return f_out, flux_out
+
+
+def _exchange(x, h, axis_name, n):
+    """Halo exchange along x inside shard_map: returns x extended by h
+    neighbor columns on each side (zeros at the global domain ends —
+    provably never read by owned outputs, masks cover gi ∈ [-2, nx+3])."""
+    left = lax.ppermute(x[:, -h:], axis_name,
+                        [(i, i + 1) for i in range(n - 1)])
+    right = lax.ppermute(x[:, :h], axis_name,
+                         [(i, i - 1) for i in range(1, n)])
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+def make_dist_step(cfg, mesh: Mesh, halo: int = HALO):
+    """Build (shard_inputs, step) for x-decomposed MPDATA on `mesh`.
+
+    shard_inputs(data) -> (f_s, u_s, w_s, aux) sharded over the mesh axis;
+    step(f_s, u_s, w_s, aux) -> (f_s_next, flux) one advection step with
+    halo exchange; flux is replicated (psum over shards)."""
+    axis = mesh.axis_names[0]
+    nparts = mesh.devices.size
+    nx = cfg.nx
+    xg = nx + 6
+    chunk = -(-xg // nparts)  # ceil: pad global grid to nparts*chunk
+    xp = chunk * nparts
+
+    fspec = P(None, axis, None)
+
+    def shard_inputs(data: MpdataData):
+        f, u_g, w_g = to_collocated(data)
+        pad = xp - xg
+
+        def padx(a):
+            return jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+
+        dev_put = lambda a, spec: jax.device_put(
+            a, jax.sharding.NamedSharding(mesh, spec)
+        )
+        f_s = dev_put(padx(f), fspec)
+        u_s = dev_put(padx(u_g), fspec)
+        w_s = dev_put(padx(w_g), fspec)
+        aux = tuple(
+            dev_put(a, P())
+            for a in (data.rho, data.rhow, data.adz, data.flux)
+        )
+        return f_s, u_s, w_s, aux
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(fspec, fspec, fspec, (P(), P(), P(), P())),
+        out_specs=(fspec, P()),
+        check_vma=False,
+    )
+    def step(f_loc, u_loc, w_loc, aux):
+        rho, rhow, adz, flux_in = aux
+        nzm = f_loc.shape[-1]
+        f_ext = _exchange(f_loc, halo, axis, nparts)
+        u_ext = _exchange(u_loc, halo, axis, nparts)
+        w_ext = _exchange(w_loc, halo, axis, nparts)
+        me = lax.axis_index(axis)
+        xl = chunk + 2 * halo
+        gi = (me * chunk - 2 - halo) + jnp.arange(xl, dtype=jnp.int32)
+        li = jnp.arange(xl)
+        owned = (li >= halo) & (li < halo + chunk)
+        f_out_ext, flux_part = advect_scalar2d_masked(
+            f_ext, u_ext, w_ext, rho, rhow, adz, gi, owned, nx
+        )
+        f_out = f_out_ext[:, halo:halo + chunk]
+        flux = lax.psum(flux_part, axis)
+        flux_out = jnp.concatenate([flux, flux_in[:, nzm:]], axis=-1)
+        return f_out, flux_out
+
+    def gather_f(f_s):
+        """Collect the sharded f back to the reference global layout."""
+        return np.asarray(f_s)[:, :xg]
+
+    return shard_inputs, step, gather_f

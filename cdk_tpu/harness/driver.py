@@ -1,0 +1,121 @@
+"""Benchmark/verification driver: the reference miniapps' run protocol as
+one reusable harness.
+
+Protocol per kernel (what each Fortran `program` hard-codes,
+biharmonic:545-580, advect…F90:48-67, nested.F90:11-469):
+
+  1. deterministic init,
+  2. stage data to device (timed separately, like `timerData`
+     nested.F90:163-182),
+  3. run the trusted reference variant → save output,
+  4. for every other registered variant: run (timed over nIters like
+     nested.F90:191-199), verify against the saved reference output with the
+     kernel's own norm, print a reference-style report line,
+  5. emit machine-readable JSON metrics (the stdout *is* the metrics schema
+     in the reference — results/ files are captured stdout; we keep the
+     human lines and add JSON).
+
+Timing semantics: variant timing EXCLUDES host↔device transfers (the
+mpdata convention, `!$acc wait` before system_clock, advect…F90:109-110;
+the atmosphere miniapp's GPU-time-includes-transfers convention is reported
+separately as `stage_s`)."""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+import jax
+
+from cdk_tpu.core import registry
+from cdk_tpu.core.platform import backend
+from cdk_tpu.core.timer import Timer, best_of, time_fn
+from cdk_tpu.harness.specs import get_spec
+
+REFERENCE_VARIANT = "reference_jnp"
+
+
+@dataclass
+class VariantResult:
+    kernel: str
+    variant: str
+    ok: bool
+    seconds_per_call: float
+    grid_points_per_s: float
+    metrics: dict[str, float] = field(default_factory=dict)
+    note: str = ""
+
+
+def run_kernel(
+    kernel: str,
+    cfg=None,
+    variants: list[str] | None = None,
+    iters: int = 10,
+    trials: int = 3,
+    quiet: bool = False,
+) -> list[VariantResult]:
+    spec = get_spec(kernel)
+    cfg = cfg or spec.default_config()
+    say = (lambda *a: None) if quiet else print
+
+    say(f"== {kernel} ({backend()}, dtype={cfg.dtype}) ==")
+    stage = Timer("data staging")
+    stage.start()
+    data = spec.init(cfg)
+    data = jax.block_until_ready(jax.device_put(data))
+    stage.stop()
+    say(stage.report())
+
+    reg = registry.variants(kernel)
+    if REFERENCE_VARIANT not in reg:
+        raise RuntimeError(f"no {REFERENCE_VARIANT} registered for {kernel}")
+    names = variants or list(reg)
+    gp = spec.grid_points(cfg)
+
+    ref_step = reg[REFERENCE_VARIANT].fn(cfg)
+    ref_out = jax.block_until_ready(ref_step(data))
+
+    results: list[VariantResult] = []
+    for name in names:
+        var = reg[name]
+        if cfg.dtype == "float64" and not var.supports_f64:
+            say(f" {name:<22s}: skipped (no f64 support)")
+            continue
+        step = var.fn(cfg)
+        out = jax.block_until_ready(step(data))
+        check = spec.verify(cfg, out, ref_out)
+        sec = best_of(step, data, iters=iters, trials=trials)
+        res = VariantResult(
+            kernel, name, check.ok, sec, gp / sec, check.metrics
+        )
+        results.append(res)
+        status = "" if check.ok else "  ** VERIFY FAILED **"
+        say(
+            f" {name:<22s}: {sec * 1e3:10.4f} ms/call "
+            f"({res.grid_points_per_s / 1e6:10.2f} M pts/s){status}"
+        )
+        for line in check.lines:
+            say(line)
+    return results
+
+
+def run_all(iters: int = 10, trials: int = 3, dtype: str | None = None,
+            quiet: bool = False) -> dict[str, Any]:
+    from cdk_tpu.harness.specs import all_specs
+
+    out: dict[str, Any] = {"backend": backend(), "kernels": {}}
+    for kernel, spec in all_specs().items():
+        cfg = spec.default_config()
+        if dtype:
+            from cdk_tpu.core.config import with_overrides
+
+            cfg = with_overrides(cfg, dtype=dtype)
+        results = run_kernel(kernel, cfg, iters=iters, trials=trials,
+                             quiet=quiet)
+        out["kernels"][kernel] = [asdict(r) for r in results]
+    return out
+
+
+def to_json(results: dict[str, Any]) -> str:
+    return json.dumps(results, indent=2, default=float)

@@ -1,0 +1,100 @@
+"""Per-kernel harness glue: how to init, which outputs to compare, and each
+kernel's own verification idiom (the reference uses a different norm per
+miniapp — SURVEY §4):
+
+  biharmonic — relative L2 on qtens   (compute_l2norm, biharmonic:69-73)
+  mpdata     — relative L1 on f, flux (compare, advect…F90:679-684)
+  cke        — per-point relative err vs errTol (nested.F90:267-287)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import numpy as np
+
+from cdk_tpu.core import config as cfgmod
+from cdk_tpu.core.norms import pointwise_check, rel_l1, rel_l2
+
+
+@dataclass(frozen=True)
+class CheckResult:
+    ok: bool
+    lines: list[str]  # stdout lines in the reference's report style
+    metrics: dict[str, float]
+
+
+@dataclass(frozen=True)
+class KernelSpec:
+    name: str
+    default_config: Callable[[], Any]
+    init: Callable[[Any], Any]          # cfg -> data pytree
+    verify: Callable[[Any, Any, Any], CheckResult]  # (cfg, out, ref_out)
+    grid_points: Callable[[Any], int]
+    flops_per_point: int  # rough, for reporting
+
+
+def _verify_biharmonic(cfg, out, ref) -> CheckResult:
+    l2 = rel_l2(np.asarray(out), np.asarray(ref))
+    return CheckResult(
+        ok=bool(np.isfinite(l2)),
+        lines=[f" L2 norm: {l2: .6E}"],
+        metrics={"rel_l2": l2},
+    )
+
+
+def _verify_mpdata(cfg, out, ref) -> CheckResult:
+    f_o, flux_o = out
+    f_r, flux_r = ref
+    e_f = rel_l1(np.asarray(f_o), np.asarray(f_r))
+    e_flux = rel_l1(np.asarray(flux_o), np.asarray(flux_r))
+    return CheckResult(
+        ok=bool(np.isfinite(e_f) and np.isfinite(e_flux)),
+        lines=[
+            f" Relative L1 Error - f    : {e_f: .6E}",
+            f" Relative L1 Error - flux : {e_flux: .6E}",
+        ],
+        metrics={"rel_l1_f": e_f, "rel_l1_flux": e_flux},
+    )
+
+
+def _verify_cke(cfg, out, ref) -> CheckResult:
+    tol = cfg.errtol if cfg.dtype == "float64" else 1.0e-4
+    n_bad, max_err, lines = pointwise_check(
+        np.asarray(out), np.asarray(ref), tol
+    )
+    return CheckResult(
+        ok=n_bad == 0,
+        lines=lines or [f" max relative error: {max_err: .6E} (tol {tol:g})"],
+        metrics={"n_violations": float(n_bad), "max_rel_err": max_err},
+    )
+
+
+def _specs() -> dict[str, KernelSpec]:
+    from cdk_tpu.kernels.biharmonic import problem as bi_problem
+    from cdk_tpu.kernels.cke import problem as cke_problem
+    from cdk_tpu.kernels.mpdata import problem as mp_problem
+
+    return {
+        "biharmonic": KernelSpec(
+            "biharmonic", cfgmod.BiharmonicConfig, bi_problem.init_data,
+            _verify_biharmonic, lambda c: c.grid_points, 135,
+        ),
+        "mpdata": KernelSpec(
+            "mpdata", cfgmod.MpdataConfig, mp_problem.init_data,
+            _verify_mpdata, lambda c: c.grid_points, 60,
+        ),
+        "cke": KernelSpec(
+            "cke", cfgmod.CkeConfig, cke_problem.init_data,
+            _verify_cke, lambda c: c.grid_points, 2 * 10 + 4,
+        ),
+    }
+
+
+def get_spec(name: str) -> KernelSpec:
+    return _specs()[name]
+
+
+def all_specs() -> dict[str, KernelSpec]:
+    return _specs()

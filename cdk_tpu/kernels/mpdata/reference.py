@@ -126,7 +126,10 @@ def advect_scalar2d(f, u, w, rho, rhow, adz, flux_in, kspan=None):
         uuu[:, 1:nx + 5] - uuu[:, 0:nx + 4]
         + (www[..., 1:] - www[..., :nzm]) * iadz
     ) * irho
-    f1 = f.at[:, 1:nx + 5].add(-upd)
+    # (concatenation instead of .at[].add: Pallas TPU has no scatter)
+    f1 = jnp.concatenate(
+        [f[:, :1], f[:, 1:nx + 5] - upd, f[:, nx + 5:]], axis=1
+    )
 
     # -- stage 4: antidiffusive pseudo-velocities (:561-585)
     # uuu over i=0..nx+2
@@ -140,7 +143,9 @@ def advect_scalar2d(f, u, w, rho, rhow, adz, flux_in, kspan=None):
         a_u,
         a_wib + _kc(a_wib) + a_wi + _kc(a_wi),
     ) * irho
-    uuu2 = uuu.at[:, 1:nx + 4].set(uuu2_body)
+    uuu2 = jnp.concatenate(
+        [uuu[:, :1], uuu2_body, uuu[:, nx + 4:]], axis=1
+    )
     # www over i=0..nx+1
     b_fi = f1[:, 2:nx + 4]
     b_fib = f1[:, 1:nx + 3]
@@ -153,9 +158,14 @@ def advect_scalar2d(f, u, w, rho, rhow, adz, flux_in, kspan=None):
         b_w,
         _kb(b_u) + b_u + b_uic + _kb(b_uic),
     ) * irho
-    www2 = www.at[:, 1:nx + 3, :nzm].set(www2_body)
-    # bottom boundary www(:,:,1) = 0 (:586)
-    www2 = www2.at[..., 0].set(0.0)
+    www2_z = jnp.concatenate(
+        [www[:, :1, :nzm], www2_body, www[:, nx + 3:, :nzm]], axis=1
+    )
+    # bottom boundary www(:,:,1) = 0 (:586) + reattach the zero top level
+    www2 = jnp.concatenate(
+        [jnp.zeros_like(www2_z[..., :1]), www2_z[..., 1:], www[..., nzm:]],
+        axis=-1,
+    )
 
     # -- stage 5a: second extrema update with the upwind-updated f (:588-600)
     f1_c = f1[:, 2:nx + 4]
@@ -188,9 +198,12 @@ def advect_scalar2d(f, u, w, rho, rhow, adz, flux_in, kspan=None):
     # -- stage 5c: limit fluxes + accumulate flux (:613-628)
     # uuu over i=1..nx+1
     l_u = uuu2[:, 2:nx + 3]
-    uuu3 = uuu2.at[:, 2:nx + 3].set(
+    uuu3_body = (
         _pp(l_u) * _min3(one, mxr[:, 1:nx + 2], mnr[:, 0:nx + 1])
         - _pn(l_u) * _min3(one, mxr[:, 0:nx + 1], mnr[:, 1:nx + 2])
+    )
+    uuu3 = jnp.concatenate(
+        [uuu2[:, :2], uuu3_body, uuu2[:, nx + 3:]], axis=1
     )
     # www over i=1..nx (kb = max(1,k-1) on the mx/mn ratios)
     l_w = www2[:, 2:nx + 2, :nzm]
@@ -199,7 +212,15 @@ def advect_scalar2d(f, u, w, rho, rhow, adz, flux_in, kspan=None):
     www3_body = _pp(l_w) * _min3(one, mx_i, _kb(mn_i)) - _pn(l_w) * _min3(
         one, _kb(mx_i), mn_i
     )
-    www3 = www2.at[:, 2:nx + 2, :nzm].set(www3_body)
+    www3 = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [www2[:, :2, :nzm], www3_body, www2[:, nx + 2:, :nzm]], axis=1
+            ),
+            www2[..., nzm:],
+        ],
+        axis=-1,
+    )
     flux = flux + jnp.sum(www3_body, axis=1)
 
     # -- stage 6: final update with positive clip over i=1..nx (:630-637)
@@ -208,7 +229,9 @@ def advect_scalar2d(f, u, w, rho, rhow, adz, flux_in, kspan=None):
         uuu3[:, 3:nx + 3] - uuu3[:, 2:nx + 2]
         + (www3[:, 2:nx + 2, 1:] - www3[:, 2:nx + 2, :nzm]) * iadz
     ) * irho
-    f_out = f1.at[:, 3:nx + 3].set(jnp.maximum(0.0, f6 - upd6))
+    f_out = jnp.concatenate(
+        [f1[:, :3], jnp.maximum(0.0, f6 - upd6), f1[:, nx + 3:]], axis=1
+    )
 
     # flux(:,nz) is never written by the reference (:540-547) — pass through
     flux_out = jnp.concatenate([flux, flux_in[:, nzm:]], axis=-1)
