@@ -1,1 +1,1 @@
-from cdk_tpu.dist import mesh  # noqa: F401
+from cdk_tpu.dist import biharmonic, cke, mesh, mpdata  # noqa: F401
