@@ -92,3 +92,37 @@ def time_fn(fn, *args, iters: int = 1, warmup: int = 1) -> tuple[float, Any]:
         out = fn(*args)
     jax.block_until_ready(out)
     return time.perf_counter() - t0, out
+
+
+def fetch_sync(out) -> float:
+    """Force full synchronization by fetching one scalar from every output
+    leaf.  Needed because `block_until_ready` does not actually wait for
+    device completion through remote-dispatch tunnels (observed: 8k matmuls
+    "completing" in 0.07 ms); a host fetch of a value that data-depends on
+    the computation is the only reliable barrier."""
+    import numpy as np
+
+    # one element per leaf, fetched in a single device_get so the tunnel
+    # round-trips pipeline instead of serializing
+    probes = [leaf.ravel()[0] for leaf in jax.tree_util.tree_leaves(out)]
+    return float(sum(np.asarray(v) for v in jax.device_get(probes)))
+
+
+def slope_time(make_runner, data, n1: int = 50, n2: int = 400,
+               trials: int = 5) -> float:
+    """Best-of per-step seconds via two-point slope: time an n1-step and an
+    n2-step device-side loop (each fetch-synced) and return
+    (t(n2) − t(n1)) / (n2 − n1).  The slope cancels the constant dispatch +
+    fetch round-trip (≈24 ms through the axon tunnel), which would otherwise
+    swamp microsecond kernels."""
+    times = {}
+    for n in (n1, n2):
+        r = make_runner(n)
+        fetch_sync(r(data))  # compile + warm
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            fetch_sync(r(data))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    return max(times[n2] - times[n1], 1e-12) / (n2 - n1)

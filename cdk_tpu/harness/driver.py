@@ -30,7 +30,7 @@ import jax
 
 from cdk_tpu.core import registry
 from cdk_tpu.core.platform import backend
-from cdk_tpu.core.timer import Timer, best_of, time_fn
+from cdk_tpu.core.timer import Timer, fetch_sync, slope_time
 from cdk_tpu.harness.specs import get_spec
 
 REFERENCE_VARIANT = "reference_jnp"
@@ -63,7 +63,8 @@ def run_kernel(
     stage = Timer("data staging")
     stage.start()
     data = spec.init(cfg)
-    data = jax.block_until_ready(jax.device_put(data))
+    data = jax.device_put(data)
+    fetch_sync(data)
     stage.stop()
     say(stage.report())
 
@@ -74,7 +75,8 @@ def run_kernel(
     gp = spec.grid_points(cfg)
 
     ref_step = reg[REFERENCE_VARIANT].fn(cfg)
-    ref_out = jax.block_until_ready(ref_step(data))
+    ref_out = ref_step(data)
+    fetch_sync(ref_out)
 
     results: list[VariantResult] = []
     for name in names:
@@ -85,7 +87,13 @@ def run_kernel(
         step = var.fn(cfg)
         out = jax.block_until_ready(step(data))
         check = spec.verify(cfg, out, ref_out)
-        sec = best_of(step, data, iters=iters, trials=trials)
+        # per-step time via fetch-synced two-point slope over device-side
+        # scan loops (the reference's nIters loop, with dispatch+fetch
+        # round-trip cancelled)
+        sec = slope_time(
+            lambda n: spec.scan_runner(step, n),
+            data, n1=iters, n2=8 * iters, trials=trials,
+        )
         res = VariantResult(
             kernel, name, check.ok, sec, gp / sec, check.metrics
         )

@@ -9,7 +9,7 @@ miniapp — SURVEY §4):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from typing import Any, Callable
 
 import numpy as np
@@ -33,6 +33,11 @@ class KernelSpec:
     verify: Callable[[Any, Any, Any], CheckResult]  # (cfg, out, ref_out)
     grid_points: Callable[[Any], int]
     flops_per_point: int  # rough, for reporting
+    # (step, n) -> fn(data) running n steps device-side under one dispatch
+    # (the TPU answer to the reference's `do n=1,nIters` loops,
+    # nested.F90:191-199: per-dispatch tunnel latency would otherwise
+    # swamp microsecond kernels)
+    scan_runner: Callable[[Any, int], Callable] = None
 
 
 def _verify_biharmonic(cfg, out, ref) -> CheckResult:
@@ -71,6 +76,56 @@ def _verify_cke(cfg, out, ref) -> CheckResult:
     )
 
 
+def _scan_biharmonic(step, n):
+    """Chain n Laplacian applications (qtens feeds back)."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def run(data):
+        def body(q, _):
+            return step(_dc_replace(data, qtens=q)), None
+        out, _ = lax.scan(body, data.qtens, None, length=n)
+        return out
+
+    return run
+
+
+def _scan_mpdata(step, n):
+    """n advection steps: f and flux feed back (a real multi-step
+    integration, unlike the reference's single call)."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def run(data):
+        def body(carry, _):
+            f, flux = carry
+            return step(_dc_replace(data, f=f, flux=flux)), None
+        out, _ = lax.scan(body, (data.f, data.flux), None, length=n)
+        return out
+
+    return run
+
+
+def _scan_cke(step, n):
+    """n flux iterations; tracerCur *= cellMask each pass like the
+    reference's forms 2/3 (nested.F90:297-310) — idempotent in value but a
+    real data dependence, so XLA cannot hoist the body out of the loop."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def run(data):
+        def body(tracer, _):
+            flx = step(_dc_replace(data, tracer=tracer))
+            return tracer * data.cell_mask, flx
+        _, flx = lax.scan(body, data.tracer, None, length=n)
+        return flx[-1]
+
+    return run
+
+
 def _specs() -> dict[str, KernelSpec]:
     from cdk_tpu.kernels.biharmonic import problem as bi_problem
     from cdk_tpu.kernels.cke import problem as cke_problem
@@ -80,14 +135,15 @@ def _specs() -> dict[str, KernelSpec]:
         "biharmonic": KernelSpec(
             "biharmonic", cfgmod.BiharmonicConfig, bi_problem.init_data,
             _verify_biharmonic, lambda c: c.grid_points, 135,
+            _scan_biharmonic,
         ),
         "mpdata": KernelSpec(
             "mpdata", cfgmod.MpdataConfig, mp_problem.init_data,
-            _verify_mpdata, lambda c: c.grid_points, 60,
+            _verify_mpdata, lambda c: c.grid_points, 60, _scan_mpdata,
         ),
         "cke": KernelSpec(
             "cke", cfgmod.CkeConfig, cke_problem.init_data,
-            _verify_cke, lambda c: c.grid_points, 2 * 10 + 4,
+            _verify_cke, lambda c: c.grid_points, 2 * 10 + 4, _scan_cke,
         ),
     }
 
