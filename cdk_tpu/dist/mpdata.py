@@ -279,3 +279,105 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO):
         return np.asarray(f_s)[:, :xg]
 
     return shard_inputs, step, gather_f
+
+
+def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO):
+    """x-decomposed MPDATA step with comm/compute OVERLAP.
+
+    The plain step (make_dist_step) serializes: exchange → compute, so the
+    ppermute latency sits on the critical path.  Here the graph is
+    restructured so XLA's latency-hiding scheduler can run the halo
+    ppermutes concurrently with the bulk of the arithmetic (the interior/
+    boundary split of SURVEY §5):
+
+      1. kick off the f/u/w halo ppermutes;
+      2. INTERIOR: run the masked core on the UNEXTENDED local chunk —
+         valid for every column ≥ DEPTH(=3) from the shard edges, and
+         data-independent of the exchange;
+      3. BOUNDARY: once halos land, run the masked core on two thin strips
+         (halo + DEPTH+3 local columns) and patch their DEPTH owned edge
+         columns over the interior result.
+
+    Results are identical to the serialized step (same per-column
+    arithmetic; flux partial sums are disjoint across interior/strips).
+
+    Uses the same (shard_inputs, gather_f) as make_dist_step."""
+    axis = mesh.axis_names[0]
+    nparts = mesh.devices.size
+    nx = cfg.nx
+    xg = nx + 6
+    chunk = -(-xg // nparts)
+    depth = 3            # stencil dependency depth of the masked core
+    need = depth + 3     # strip columns needed beyond the patched region
+    if chunk < max(halo, need):
+        raise ValueError(
+            f"chunk={chunk} too small for overlap (need >= {need})"
+        )
+    fspec = P(None, axis, None)
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(fspec, fspec, fspec, (P(), P(), P(), P())),
+        out_specs=(fspec, P()),
+        check_vma=False,
+    )
+    def step(f_loc, u_loc, w_loc, aux):
+        rho, rhow, adz, flux_in = aux
+        nzm = f_loc.shape[-1]
+        me = lax.axis_index(axis)
+        li = jnp.arange(chunk)
+        gi0 = me * chunk - 2
+
+        # 1) halo exchange (independent of the interior compute below)
+        perm_r = [(i, i + 1) for i in range(nparts - 1)]
+        perm_l = [(i, i - 1) for i in range(1, nparts)]
+        halos = [
+            (lax.ppermute(a[:, -halo:], axis, perm_r),
+             lax.ppermute(a[:, :halo], axis, perm_l))
+            for a in (f_loc, u_loc, w_loc)
+        ]
+
+        # 2) interior: valid except within `depth` of the shard edges
+        interior = (li >= depth) & (li < chunk - depth)
+        f_int, flux_int = advect_scalar2d_masked(
+            f_loc, u_loc, w_loc, rho, rhow, adz,
+            gi0 + li.astype(jnp.int32), interior, nx,
+        )
+
+        # 3) boundary strips
+        sw = halo + need  # strip width
+        ls = jnp.arange(sw)
+
+        def strip(side):
+            if side == 0:  # left edge of the chunk
+                arrs = [jnp.concatenate([h[0], a[:, :need]], axis=1)
+                        for h, a in zip(halos, (f_loc, u_loc, w_loc))]
+                gis = gi0 - halo + ls.astype(jnp.int32)
+                own = (ls >= halo) & (ls < halo + depth)
+            else:          # right edge
+                arrs = [jnp.concatenate([a[:, -need:], h[1]], axis=1)
+                        for h, a in zip(halos, (f_loc, u_loc, w_loc))]
+                gis = gi0 + chunk - need + ls.astype(jnp.int32)
+                own = (ls >= need - depth) & (ls < need)
+            f_s, flux_s = advect_scalar2d_masked(
+                arrs[0], arrs[1], arrs[2], rho, rhow, adz, gis, own, nx
+            )
+            return f_s, flux_s, own
+
+        fl, flux_l, _ = strip(0)
+        fr, flux_r, _ = strip(1)
+        f_out = jnp.concatenate(
+            [
+                fl[:, halo:halo + depth],
+                f_int[:, depth:chunk - depth],
+                fr[:, need - depth:need],
+            ],
+            axis=1,
+        )
+        flux = lax.psum(flux_int + flux_l + flux_r, axis)
+        flux_out = jnp.concatenate([flux, flux_in[:, nzm:]], axis=-1)
+        return f_out, flux_out
+
+    return step

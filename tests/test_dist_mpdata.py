@@ -55,3 +55,21 @@ def test_decomposed_multistep():
         d = problem.MpdataData(f_ref, d.u, d.w, d.rho, d.rhow, d.adz, flux_ref)
         f_s, flux_s = step(f_s, u_s, w_s, aux)
     assert rel_l1(gather_f(f_s), np.asarray(f_ref)) < 1e-13
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_overlap_step_matches_plain(ndev):
+    """The overlapped (interior-first + boundary-strip) step produces the
+    same owned values as the serialized exchange->compute step."""
+    cfg = with_overrides(MpdataConfig(), nx=64)  # chunk >= strip width
+    data = problem.init_data(cfg)
+    f_ref, flux_ref = reference.make_reference(cfg)(data)
+    m = meshmod.make_mesh(ndev)
+    shard_inputs, step_plain, gather_f = dist_mpdata.make_dist_step(cfg, m)
+    step_ov = dist_mpdata.make_dist_step_overlap(cfg, m)
+    f_s, u_s, w_s, aux = shard_inputs(data)
+    f_a, flux_a = step_plain(f_s, u_s, w_s, aux)
+    f_b, flux_b = step_ov(f_s, u_s, w_s, aux)
+    assert rel_l1(gather_f(f_b), gather_f(f_a)) < 1e-15
+    assert rel_l1(np.asarray(flux_b), np.asarray(flux_a)) < 1e-14
+    assert rel_l1(gather_f(f_b), np.asarray(f_ref)) < 1e-14
