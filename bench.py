@@ -32,6 +32,9 @@ BASELINES_PTS_S = {
 
 
 def main() -> int:
+    from cdk_tpu.core.platform import enable_compilation_cache
+
+    enable_compilation_cache()
     import cdk_tpu.kernels  # noqa: F401
     from cdk_tpu.core.config import with_overrides
     from cdk_tpu.harness import driver

@@ -52,6 +52,9 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
 
+    from cdk_tpu.core.platform import enable_compilation_cache
+
+    enable_compilation_cache()
     import cdk_tpu.kernels  # noqa: F401  (registers variants)
     from cdk_tpu.core import registry
 

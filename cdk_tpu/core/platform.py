@@ -23,3 +23,13 @@ def pallas_interpret() -> bool:
     """Pallas TPU kernels run compiled on TPU, interpreted elsewhere (so the
     same variant code is testable on the CPU test mesh)."""
     return not on_tpu()
+
+
+def enable_compilation_cache(path: str = "/tmp/cdk_jax_cache") -> None:
+    """Persistent compilation cache: compiles survive across processes, so
+    short-lived benchmark invocations skip recompilation."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

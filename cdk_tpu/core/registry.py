@@ -23,6 +23,7 @@ class Variant:
     description: str = ""
     requires_tpu: bool = False
     supports_f64: bool = True
+    fast_math: bool = False  # intentionally-lower-precision variant
 
 
 def register(
@@ -31,10 +32,12 @@ def register(
     description: str = "",
     requires_tpu: bool = False,
     supports_f64: bool = True,
+    fast_math: bool = False,
 ):
     def deco(fn):
         _REGISTRY.setdefault(kernel, {})[name] = Variant(
-            kernel, name, fn, description, requires_tpu, supports_f64
+            kernel, name, fn, description, requires_tpu, supports_f64,
+            fast_math
         )
         return fn
 

@@ -86,7 +86,7 @@ def run_kernel(
             continue
         step = var.fn(cfg)
         out = jax.block_until_ready(step(data))
-        check = spec.verify(cfg, out, ref_out)
+        check = spec.verify(cfg, out, ref_out, loose=var.fast_math)
         # per-step time via fetch-synced two-point slope over device-side
         # scan loops (the reference's nIters loop, with dispatch+fetch
         # round-trip cancelled)

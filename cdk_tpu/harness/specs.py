@@ -40,22 +40,31 @@ class KernelSpec:
     scan_runner: Callable[[Any, int], Callable] = None
 
 
-def _verify_biharmonic(cfg, out, ref) -> CheckResult:
+def _tol(cfg, loose, f64_tol, f32_tol):
+    if loose:
+        return 1.0e-2
+    return f64_tol if cfg.dtype == "float64" else f32_tol
+
+
+def _verify_biharmonic(cfg, out, ref, loose=False) -> CheckResult:
     l2 = rel_l2(np.asarray(out), np.asarray(ref))
+    tol = _tol(cfg, loose, 1e-13, 5e-5)
     return CheckResult(
-        ok=bool(np.isfinite(l2)),
-        lines=[f" L2 norm: {l2: .6E}"],
+        ok=bool(np.isfinite(l2) and l2 < tol),
+        lines=[f" L2 norm: {l2: .6E}  (tol {tol:g})"],
         metrics={"rel_l2": l2},
     )
 
 
-def _verify_mpdata(cfg, out, ref) -> CheckResult:
+def _verify_mpdata(cfg, out, ref, loose=False) -> CheckResult:
     f_o, flux_o = out
     f_r, flux_r = ref
     e_f = rel_l1(np.asarray(f_o), np.asarray(f_r))
     e_flux = rel_l1(np.asarray(flux_o), np.asarray(flux_r))
+    tol = _tol(cfg, loose, 1e-13, 1e-4)
     return CheckResult(
-        ok=bool(np.isfinite(e_f) and np.isfinite(e_flux)),
+        ok=bool(np.isfinite(e_f) and np.isfinite(e_flux)
+                and e_f < tol and e_flux < 10 * tol),
         lines=[
             f" Relative L1 Error - f    : {e_f: .6E}",
             f" Relative L1 Error - flux : {e_flux: .6E}",
@@ -64,15 +73,26 @@ def _verify_mpdata(cfg, out, ref) -> CheckResult:
     )
 
 
-def _verify_cke(cfg, out, ref) -> CheckResult:
-    tol = cfg.errtol if cfg.dtype == "float64" else 1.0e-4
-    n_bad, max_err, lines = pointwise_check(
-        np.asarray(out), np.asarray(ref), tol
-    )
+def _verify_cke(cfg, out, ref, loose=False) -> CheckResult:
+    if cfg.dtype == "float64" and not loose:
+        # the reference's own per-point check at errTol (nested.F90:267-287)
+        n_bad, max_err, lines = pointwise_check(
+            np.asarray(out), np.asarray(ref), cfg.errtol
+        )
+        return CheckResult(
+            ok=n_bad == 0,
+            lines=lines
+            or [f" max relative error: {max_err: .6E} (tol {cfg.errtol:g})"],
+            metrics={"n_violations": float(n_bad), "max_rel_err": max_err},
+        )
+    # f32: per-point relative error is dominated by cancellation at
+    # near-zero flux points; use the aggregate norm
+    tol = _tol(cfg, loose, cfg.errtol, 1e-5)
+    e = rel_l1(np.asarray(out), np.asarray(ref))
     return CheckResult(
-        ok=n_bad == 0,
-        lines=lines or [f" max relative error: {max_err: .6E} (tol {tol:g})"],
-        metrics={"n_violations": float(n_bad), "max_rel_err": max_err},
+        ok=bool(np.isfinite(e) and e < tol),
+        lines=[f" Relative L1 Error - flx  : {e: .6E}  (tol {tol:g})"],
+        metrics={"rel_l1": e},
     )
 
 

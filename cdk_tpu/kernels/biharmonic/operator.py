@@ -72,10 +72,14 @@ def build_element_operator(dvv, dinv, spheremp, tensorvisc, rrearth) -> jnp.ndar
     return jax.vmap(probe)(dinv, spheremp, tensorvisc)
 
 
-def apply_operator(L: jnp.ndarray, q_lane: jnp.ndarray) -> jnp.ndarray:
-    """q_lane: (e, npts, ncol) -> L[e] @ q_lane[e] batched on MXU."""
+def apply_operator(L: jnp.ndarray, q_lane: jnp.ndarray,
+                   precision="highest") -> jnp.ndarray:
+    """q_lane: (e, npts, ncol) -> L[e] @ q_lane[e] batched on MXU.
+    precision="highest" forces true-f32 MXU passes (default bf16 passes
+    cost ~1e-3 relative error); the bf16 variant opts out explicitly."""
     return jnp.einsum(
-        "eop,epc->eoc", L, q_lane, preferred_element_type=q_lane.dtype
+        "eop,epc->eoc", L, q_lane, preferred_element_type=q_lane.dtype,
+        precision=precision,
     )
 
 
@@ -92,9 +96,11 @@ def blockdiag_operator(L: jnp.ndarray) -> jnp.ndarray:
     return bd.reshape(e * npts, e * npts)
 
 
-def apply_operator_blockdiag(Lbd: jnp.ndarray, q_flat: jnp.ndarray) -> jnp.ndarray:
+def apply_operator_blockdiag(Lbd: jnp.ndarray, q_flat: jnp.ndarray,
+                             precision="highest") -> jnp.ndarray:
     """q_flat: (e*npts, ncol) -> Lbd @ q_flat, one dense MXU matmul."""
-    return jnp.dot(Lbd, q_flat, preferred_element_type=q_flat.dtype)
+    return jnp.dot(Lbd, q_flat, preferred_element_type=q_flat.dtype,
+                   precision=precision)
 
 
 @register(
@@ -136,6 +142,30 @@ def make_fused_operator_bd(cfg):
         q_flat = to_lane_layout(data.qtens).reshape(e * npts, ncol)
         out = apply_operator_blockdiag(blockdiag_operator(L), q_flat)
         return from_lane_layout(out.reshape(e, npts, ncol), cfg)
+
+    return step
+
+
+@register(
+    "biharmonic",
+    "fused_operator_bf16",
+    "fused-operator matmul in bf16 MXU passes: the explicit speed-of-light "
+    "point of the precision/throughput trade (use fused_operator for "
+    "verification-grade f32)",
+    supports_f64=False,
+    fast_math=True,
+)
+def make_fused_operator_bf16(cfg):
+    rr = cfg.np_dtype(cfg.rrearth)
+
+    @jax.jit
+    def step(data: BiharmonicData) -> jnp.ndarray:
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        out = apply_operator(L, to_lane_layout(data.qtens),
+                             precision="default")
+        return from_lane_layout(out, cfg)
 
     return step
 

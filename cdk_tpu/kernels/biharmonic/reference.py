@@ -41,8 +41,10 @@ def _bcast(elem_field: jnp.ndarray) -> jnp.ndarray:
 def gradient_sphere(s, dvv, dinv, rrearth):
     """s: (..., i, j) -> ds: tuple of 2 arrays (..., i, j)."""
     # v1[l,j] = rr * Σ_i dvv[i,l] s[i,j];  v2[j,l] = rr * Σ_i dvv[i,l] s[j,i]
-    v1 = rrearth * jnp.einsum("il,...ij->...lj", dvv, s)
-    v2 = rrearth * jnp.einsum("il,...ji->...jl", dvv, s)
+    # precision="highest": f32 on the MXU otherwise runs bf16 passes
+    # (~1e-3 relative error at np=4 contractions)
+    v1 = rrearth * jnp.einsum("il,...ij->...lj", dvv, s, precision="highest")
+    v2 = rrearth * jnp.einsum("il,...ji->...jl", dvv, s, precision="highest")
     ds1 = dinv[..., 0, 0] * v1 + dinv[..., 1, 0] * v2
     ds2 = dinv[..., 0, 1] * v1 + dinv[..., 1, 1] * v2
     return ds1, ds2
@@ -51,8 +53,10 @@ def gradient_sphere(s, dvv, dinv, rrearth):
 def divergence_sphere_wk(v1, v2, dvv, dinv, spheremp, rrearth):
     vt1 = dinv[..., 0, 0] * v1 + dinv[..., 0, 1] * v2
     vt2 = dinv[..., 1, 0] * v1 + dinv[..., 1, 1] * v2
-    t1 = jnp.einsum("mj,...jn->...mn", dvv, spheremp * vt1)
-    t2 = jnp.einsum("nj,...mj->...mn", dvv, spheremp * vt2)
+    t1 = jnp.einsum("mj,...jn->...mn", dvv, spheremp * vt1,
+                    precision="highest")
+    t2 = jnp.einsum("nj,...mj->...mn", dvv, spheremp * vt2,
+                    precision="highest")
     return -rrearth * (t1 + t2)
 
 
