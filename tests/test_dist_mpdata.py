@@ -73,3 +73,14 @@ def test_overlap_step_matches_plain(ndev):
     assert rel_l1(gather_f(f_b), gather_f(f_a)) < 1e-15
     assert rel_l1(np.asarray(flux_b), np.asarray(flux_a)) < 1e-14
     assert rel_l1(gather_f(f_b), np.asarray(f_ref)) < 1e-14
+
+
+def test_weak_scaling_harness_runs():
+    from cdk_tpu.harness import scaling
+
+    pts = scaling.weak_scaling_mpdata(
+        device_counts=(1, 2), nx_per_device=32, nslices=4, nz=10,
+        n_steps=2, quiet=True,
+    )
+    assert len(pts) == 2 and pts[0].efficiency == 1.0
+    assert all(p.grid_points_per_s > 0 for p in pts)
