@@ -38,13 +38,22 @@ def _bcast(elem_field: jnp.ndarray) -> jnp.ndarray:
     return elem_field[:, None, None]
 
 
+def _contract_l(dvv, s):
+    """out[..., l, j] = Σ_i dvv[i, l] s[..., i, j], unrolled over the np=4
+    GLL axis.  A 4-term contraction is far below MXU granularity (the
+    128x128 systolic array would run <4% utilized AND silently drop f32 to
+    bf16 passes); unrolled VPU FMAs are both exact f32 and faster."""
+    n = dvv.shape[0]
+    return sum(dvv[i, :, None] * s[..., i, None, :] for i in range(n))
+
+
 def gradient_sphere(s, dvv, dinv, rrearth):
     """s: (..., i, j) -> ds: tuple of 2 arrays (..., i, j)."""
     # v1[l,j] = rr * Σ_i dvv[i,l] s[i,j];  v2[j,l] = rr * Σ_i dvv[i,l] s[j,i]
-    # precision="highest": f32 on the MXU otherwise runs bf16 passes
-    # (~1e-3 relative error at np=4 contractions)
-    v1 = rrearth * jnp.einsum("il,...ij->...lj", dvv, s, precision="highest")
-    v2 = rrearth * jnp.einsum("il,...ji->...jl", dvv, s, precision="highest")
+    v1 = rrearth * _contract_l(dvv, s)
+    v2 = rrearth * jnp.swapaxes(
+        _contract_l(dvv, jnp.swapaxes(s, -1, -2)), -1, -2
+    )
     ds1 = dinv[..., 0, 0] * v1 + dinv[..., 1, 0] * v2
     ds2 = dinv[..., 0, 1] * v1 + dinv[..., 1, 1] * v2
     return ds1, ds2
@@ -53,10 +62,13 @@ def gradient_sphere(s, dvv, dinv, rrearth):
 def divergence_sphere_wk(v1, v2, dvv, dinv, spheremp, rrearth):
     vt1 = dinv[..., 0, 0] * v1 + dinv[..., 0, 1] * v2
     vt2 = dinv[..., 1, 0] * v1 + dinv[..., 1, 1] * v2
-    t1 = jnp.einsum("mj,...jn->...mn", dvv, spheremp * vt1,
-                    precision="highest")
-    t2 = jnp.einsum("nj,...mj->...mn", dvv, spheremp * vt2,
-                    precision="highest")
+    n = dvv.shape[0]
+    x = spheremp * vt1
+    y = spheremp * vt2
+    # t1[m,n] = Σ_j dvv[m,j] x[j,n];  t2[m,n] = Σ_j dvv[n,j] y[m,j]
+    # (unrolled VPU form — see _contract_l)
+    t1 = sum(dvv[:, j, None] * x[..., j, None, :] for j in range(n))
+    t2 = sum(dvv[None, :, j] * y[..., :, j, None] for j in range(n))
     return -rrearth * (t1 + t2)
 
 
