@@ -49,6 +49,16 @@ def main(argv=None) -> int:
                       metavar="key=value", help="config field override")
     runp.add_argument("--namelist", default=None,
                       help="reference-format nested.nml (cke only)")
+    runp.add_argument("--preset", default=None, choices=["production"],
+                      help="use the production-scale config preset")
+
+    scalep = sub.add_parser(
+        "scaling", help="weak-scaling sweep of the dist mpdata step"
+    )
+    scalep.add_argument("--devices", default="1,2,4,8")
+    scalep.add_argument("--nx-per-device", type=int, default=64)
+    scalep.add_argument("--steps", type=int, default=20)
+    scalep.add_argument("--no-overlap", action="store_true")
 
     args = p.parse_args(argv)
 
@@ -65,9 +75,24 @@ def main(argv=None) -> int:
                 print(f"  {name:<22s} {var.description}")
         return 0
 
+    if args.cmd == "scaling":
+        from cdk_tpu.harness import scaling
+
+        scaling.weak_scaling_mpdata(
+            device_counts=tuple(int(x) for x in args.devices.split(",")),
+            nx_per_device=args.nx_per_device,
+            n_steps=args.steps,
+            overlap=not args.no_overlap,
+        )
+        return 0
+
     from dataclasses import asdict
 
-    from cdk_tpu.core.config import cke_config_from_namelist, with_overrides
+    from cdk_tpu.core.config import (
+        cke_config_from_namelist,
+        production_config,
+        with_overrides,
+    )
     from cdk_tpu.harness import driver
     from cdk_tpu.harness.specs import get_spec
 
@@ -81,6 +106,8 @@ def main(argv=None) -> int:
     else:
         if args.kernel == "cke" and args.namelist:
             cfg = cke_config_from_namelist(args.namelist, **overrides)
+        elif args.preset == "production":
+            cfg = with_overrides(production_config(args.kernel), **overrides)
         else:
             cfg = with_overrides(get_spec(args.kernel).default_config(),
                                  **overrides)

@@ -152,3 +152,25 @@ def with_overrides(cfg, **kw):
     if bad:
         raise ValueError(f"unknown config fields for {type(cfg).__name__}: {bad}")
     return replace(cfg, **kw)
+
+
+# Production-scale presets (BASELINE.json configs: "All three kernels at
+# production E3SM scale (ne120-equivalent element count, 10 tracers)").
+# Sizing rationale: ne120 cubed-sphere = 6*120^2 = 86,400 spectral elements
+# globally; a 16-chip slice puts 5,400 elements on each chip, with the
+# E3SM-production 10-tracer set. The MMF preset batches 8,192 CRM slices
+# (the per-node column count of an MMF run); the MPAS preset is 10x the
+# shipped nested.nml horizontal size.
+PRODUCTION = {
+    "biharmonic": lambda: BiharmonicConfig(
+        nelemd=5400, qsize=10, dtype="float32"
+    ),
+    "mpdata": lambda: MpdataConfig(nslices=8192, dtype="float32"),
+    "cke": lambda: CkeConfig(
+        nedges=256000, ncells=28000, dtype="float32"
+    ),
+}
+
+
+def production_config(kernel: str):
+    return PRODUCTION[kernel]()
