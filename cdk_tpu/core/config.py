@@ -18,6 +18,10 @@ import numpy as np
 
 
 def _dtype(name: str):
+    if name == "bfloat16":
+        import jax.numpy as jnp
+
+        return jnp.bfloat16
     return {"float32": np.float32, "float64": np.float64}[name]
 
 
