@@ -42,9 +42,13 @@ def _kernel(consts_ref, elem_ref, q_ref, out_ref, *, rrearth):
     sp = el[4][:, None]
     t00, t01, t10, t11 = (el[5 + i][:, None] for i in range(4))
 
-    # gradient_sphere: x/y derivatives as constant-matrix MXU matmuls
-    v1 = rrearth * jnp.dot(a1, s, preferred_element_type=dt)
-    v2 = rrearth * jnp.dot(a2, s, preferred_element_type=dt)
+    # gradient_sphere: x/y derivatives as constant-matrix MXU matmuls.
+    # precision="highest" keeps f32 verification grade (default MXU f32 is
+    # bf16 passes, ~1e-3 relative error at these contractions).
+    v1 = rrearth * jnp.dot(a1, s, preferred_element_type=dt,
+                           precision="highest")
+    v2 = rrearth * jnp.dot(a2, s, preferred_element_type=dt,
+                           precision="highest")
     ds1 = d00 * v1 + d10 * v2
     ds2 = d01 * v1 + d11 * v2
     # tensorVisc contraction
@@ -56,8 +60,8 @@ def _kernel(consts_ref, elem_ref, q_ref, out_ref, *, rrearth):
     x = sp * vt1
     y = sp * vt2
     out_ref[0] = -rrearth * (
-        jnp.dot(b1, x, preferred_element_type=dt)
-        + jnp.dot(b2, y, preferred_element_type=dt)
+        jnp.dot(b1, x, preferred_element_type=dt, precision="highest")
+        + jnp.dot(b2, y, preferred_element_type=dt, precision="highest")
     )
 
 
