@@ -96,3 +96,86 @@ def weak_scaling_mpdata(
             f"eff={eff * 100:5.1f}%"
         )
     return points
+
+
+def overlap_gain_mpdata(
+    n_devices: int = 8,
+    nx_per_device: int = 64,
+    n_steps: int = 20,
+    dtype: str = "float32",
+    quiet: bool = False,
+) -> dict:
+    """Serialized vs overlapped halo-exchange step at fixed size: the
+    halo-overlap % metric (SURVEY §7 step 7). Meaningful on real multi-chip
+    ICI; on virtual CPU devices it validates the plumbing only."""
+    say = (lambda *a: None) if quiet else print
+    n = min(n_devices, len(jax.devices()))
+    cfg = with_overrides(MpdataConfig(), nx=nx_per_device * n, dtype=dtype)
+    m = meshmod.make_mesh(n)
+    shard_inputs, step_plain, _ = dist_mpdata.make_dist_step(cfg, m)
+    step_ov = dist_mpdata.make_dist_step_overlap(cfg, m)
+    from cdk_tpu.kernels.mpdata import problem
+
+    data = problem.init_data(cfg)
+    args = shard_inputs(data)
+    t_plain = _time_steps(step_plain, args, n_steps)
+    t_ov = _time_steps(step_ov, args, n_steps)
+    gain = (t_plain - t_ov) / t_plain
+    say(
+        f" overlap n={n}: plain {t_plain * 1e6:9.2f} us/step, "
+        f"overlapped {t_ov * 1e6:9.2f} us/step, gain {gain * 100:5.1f}%"
+    )
+    return {"n_devices": n, "plain_s": t_plain, "overlap_s": t_ov,
+            "gain": gain}
+
+
+def weak_scaling_cke(
+    device_counts=(1, 2, 4, 8),
+    nedges_per_device: int = 3200,
+    ncells: int = 2800,
+    nvert: int = 100,
+    dtype: str = "float32",
+    n_steps: int = 10,
+    quiet: bool = False,
+) -> list[ScalePoint]:
+    """Edge-partitioned CKE: edges grow with devices, cell fields sharded +
+    all-gathered (the communication weak-scales with ncells, constant)."""
+    import time
+
+    from cdk_tpu.core.config import CkeConfig
+    from cdk_tpu.dist import cke as dist_cke
+    from cdk_tpu.kernels.cke import problem
+
+    say = (lambda *a: None) if quiet else print
+    points: list[ScalePoint] = []
+    base = None
+    for n in device_counts:
+        if n > len(jax.devices()):
+            continue
+        cfg = with_overrides(
+            CkeConfig(), nedges=nedges_per_device * n, ncells=ncells,
+            nvertlevels=nvert, dtype=dtype,
+        )
+        m = meshmod.make_mesh(n)
+        data = dist_cke.shard_data(problem.init_data(cfg), m)
+        run = dist_cke.make_dist_step(cfg, m)
+        fetch_sync(run(data))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n_steps):
+                out = run(data)
+            fetch_sync(out)
+            best = min(best, (time.perf_counter() - t0) / n_steps)
+        pts = cfg.grid_points / best
+        per_dev = pts / n
+        base = base or per_dev
+        eff = per_dev / base
+        points.append(ScalePoint(n, cfg.nedges, best, pts, eff))
+        say(
+            f" weak-scaling cke n={n:<2d} nEdges={cfg.nedges:<7d} "
+            f"{best * 1e6:9.2f} us/iter {pts / 1e6:10.1f} M pts/s "
+            f"eff={eff * 100:5.1f}%"
+        )
+    return points

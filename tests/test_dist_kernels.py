@@ -35,3 +35,16 @@ def test_cke_edge_cell_sharded(ndev):
     out = np.asarray(dist_cke.make_dist_step(cfg, m)(sharded))
     n_bad, max_err, lines = pointwise_check(out, ref, cfg.errtol)
     assert n_bad == 0, f"max_err={max_err}"
+
+
+def test_overlap_gain_and_cke_scaling_plumbing():
+    from cdk_tpu.harness import scaling
+
+    r = scaling.overlap_gain_mpdata(n_devices=2, nx_per_device=64,
+                                    n_steps=2, quiet=True)
+    assert r["plain_s"] > 0 and r["overlap_s"] > 0
+    pts = scaling.weak_scaling_cke(
+        device_counts=(1, 2), nedges_per_device=64, ncells=40, nvert=10,
+        n_steps=2, quiet=True,
+    )
+    assert len(pts) == 2
