@@ -137,11 +137,17 @@ def _scan_cke(step, n):
 
     @jax.jit
     def run(data):
-        def body(tracer, _):
+        def body(carry, _):
+            tracer, _ = carry
             flx = step(_dc_replace(data, tracer=tracer))
-            return tracer * data.cell_mask, flx
-        _, flx = lax.scan(body, data.tracer, None, length=n)
-        return flx[-1]
+            # carry the result instead of stacking n copies of it
+            return (tracer * data.cell_mask, flx), None
+        import jax.numpy as jnp
+
+        init_flx = jnp.zeros(data.ntf.shape, data.ntf.dtype)
+        (_, flx), _ = lax.scan(body, (data.tracer, init_flx), None,
+                               length=n)
+        return flx
 
     return run
 
