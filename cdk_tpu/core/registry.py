@@ -54,3 +54,22 @@ def get(kernel: str, name: str) -> "Variant":
 
 def kernels() -> list[str]:
     return sorted(_REGISTRY)
+
+
+def make_step(variant: "Variant", cfg, data):
+    """Materialize a variant into a plain step(data) callable.
+
+    Variant factories return either `step` or `(prepare, step2)`, where
+    prepare(data) builds untimed device-resident auxiliaries (prebuilt
+    operators/connectivity — the analog of the reference's untimed staging,
+    nested.F90:400-403) and step2(aux, data) applies them."""
+    made = variant.fn(cfg)
+    if isinstance(made, tuple):
+        prepare, step2 = made
+        aux = prepare(data)
+
+        def step(d, _aux=aux, _s=step2):
+            return _s(_aux, d)
+
+        return step
+    return made

@@ -84,7 +84,7 @@ def run_kernel(
         if cfg.dtype == "float64" and not var.supports_f64:
             say(f" {name:<22s}: skipped (no f64 support)")
             continue
-        step = var.fn(cfg)
+        step = registry.make_step(var, cfg, data)
         out = jax.block_until_ready(step(data))
         check = spec.verify(cfg, out, ref_out, loose=var.fast_math)
         # per-step time via fetch-synced two-point slope over device-side

@@ -47,34 +47,61 @@ def build_connectivity_matrices(adv_cells, adv_coefs, adv_coefs3, ncells):
     return a1, a3
 
 
-def apply_onehot(a1, a3, tracer, cell_mask, ntf, adv_mask, coef3rdorder):
+def apply_onehot(a1, a3, tracer, cell_mask, ntf, adv_mask, coef3rdorder,
+                 precision="highest"):
+    # precision="highest": default f32 MXU runs bf16 passes (~1e-3 relative
+    # error over the K=ncells contraction); the bf16 variant opts out.
     t = tracer * cell_mask
-    s1 = jnp.dot(a1, t, preferred_element_type=t.dtype)
-    s3 = jnp.dot(a3, t, preferred_element_type=t.dtype)
+    s1 = jnp.dot(a1, t, preferred_element_type=t.dtype, precision=precision)
+    s3 = jnp.dot(a3, t, preferred_element_type=t.dtype, precision=precision)
     return ntf * adv_mask * (s1 + coef3rdorder * s3 * fsign1(ntf))
+
+
+def _make_onehot(cfg, precision):
+    c3 = cfg.np_dtype(cfg.coef3rdorder)
+    ncells = cfg.ncells
+
+    @jax.jit
+    def prepare(data: CkeData):
+        # untimed connectivity staging, the analog of cke_init's one-time
+        # deep_copy (nested.F90:400-403 is under timerData, not the
+        # iteration loop)
+        return build_connectivity_matrices(
+            data.adv_cells, data.adv_coefs, data.adv_coefs3, ncells
+        )
+
+    @jax.jit
+    def step(aux, data: CkeData) -> jnp.ndarray:
+        a1, a3 = aux
+        return apply_onehot(
+            a1, a3, data.tracer, data.cell_mask, data.ntf, data.adv_mask,
+            c3, precision,
+        )
+
+    return prepare, step
 
 
 @register(
     "cke",
     "onehot_mxu",
     "gather recast as two dense (nedges x ncells) connectivity matmuls on "
-    "the MXU; connectivity matrices prebuilt in setup (TPU-native analog of "
+    "the MXU; connectivity matrices prebuilt untimed (TPU-native analog of "
     "cke_impl1's pack-SIMD flat form)",
 )
 def make_onehot_mxu(cfg):
-    c3 = cfg.np_dtype(cfg.coef3rdorder)
-    ncells = cfg.ncells
+    return _make_onehot(cfg, "highest")
 
-    @jax.jit
-    def step(data: CkeData) -> jnp.ndarray:
-        a1, a3 = build_connectivity_matrices(
-            data.adv_cells, data.adv_coefs, data.adv_coefs3, ncells
-        )
-        return apply_onehot(
-            a1, a3, data.tracer, data.cell_mask, data.ntf, data.adv_mask, c3
-        )
 
-    return step
+@register(
+    "cke",
+    "onehot_mxu_bf16",
+    "connectivity matmuls in bf16 MXU passes: the explicit precision/"
+    "throughput trade point",
+    supports_f64=False,
+    fast_math=True,
+)
+def make_onehot_mxu_bf16(cfg):
+    return _make_onehot(cfg, "default")
 
 
 def make_onehot_prebuilt(cfg):

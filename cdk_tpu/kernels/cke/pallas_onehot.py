@@ -41,7 +41,7 @@ from cdk_tpu.kernels.cke.problem import CkeData
 
 
 def _kernel(cells_ref, c1_ref, c3_ref, ntf_ref, advm_ref, t_ref, mask_ref,
-            out_ref, *, coef3rdorder):
+            out_ref, *, coef3rdorder, precision):
     cells = cells_ref[...]            # (EB, A) int32
     t = t_ref[...] * mask_ref[...]    # (C, K) masked tracer
     dt = t.dtype
@@ -59,7 +59,8 @@ def _kernel(cells_ref, c1_ref, c3_ref, ntf_ref, advm_ref, t_ref, mask_ref,
         w3 = w3 + jnp.where(eq, c3[:, i:i + 1], jnp.asarray(0, dt))
 
     s = jnp.dot(
-        jnp.concatenate([w1, w3], axis=0), t, preferred_element_type=dt
+        jnp.concatenate([w1, w3], axis=0), t, preferred_element_type=dt,
+        precision=precision,
     )
     s1, s3 = s[:eb], s[eb:]
     ntf = ntf_ref[...]
@@ -68,10 +69,11 @@ def _kernel(cells_ref, c1_ref, c3_ref, ntf_ref, advm_ref, t_ref, mask_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("coef3rdorder", "edge_block", "interpret")
+    jax.jit,
+    static_argnames=("coef3rdorder", "edge_block", "interpret", "precision"),
 )
 def _run(adv_cells, adv_coefs, adv_coefs3, tracer, cell_mask, ntf, adv_mask,
-         coef3rdorder, edge_block, interpret):
+         coef3rdorder, edge_block, interpret, precision="highest"):
     e, a = adv_cells.shape
     c, kv = tracer.shape
     eb = min(edge_block, e)
@@ -82,7 +84,8 @@ def _run(adv_cells, adv_coefs, adv_coefs3, tracer, cell_mask, ntf, adv_mask,
     full = lambda s0, s1: pl.BlockSpec((s0, s1), lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, coef3rdorder=coef3rdorder),
+        functools.partial(_kernel, coef3rdorder=coef3rdorder,
+                          precision=precision),
         out_shape=jax.ShapeDtypeStruct((e, kv), tracer.dtype),
         grid=(e // eb,),
         in_specs=[
@@ -108,14 +111,7 @@ def edge_flux_pallas(data: CkeData, coef3rdorder: float,
     )
 
 
-@register(
-    "cke",
-    "pallas_onehot",
-    "fused Pallas kernel: per-edge-block one-hot connectivity built in VMEM "
-    "each iteration + stacked MXU matmul against the VMEM-resident tracer "
-    "field (analog of cke_impl2's team-scratch staging)",
-)
-def make_pallas_onehot(cfg):
+def _make_pallas(cfg, precision):
     c3 = float(cfg.coef3rdorder)
     interpret = pallas_interpret()
 
@@ -124,6 +120,29 @@ def make_pallas_onehot(cfg):
         return _run(
             data.adv_cells, data.adv_coefs, data.adv_coefs3, data.tracer,
             data.cell_mask, data.ntf, data.adv_mask, c3, 128, interpret,
+            precision,
         )
 
     return step
+
+
+@register(
+    "cke",
+    "pallas_onehot",
+    "fused Pallas kernel: per-edge-block one-hot connectivity built in VMEM "
+    "each iteration + stacked MXU matmul against the VMEM-resident tracer "
+    "field (analog of cke_impl2's team-scratch staging)",
+)
+def make_pallas_onehot(cfg):
+    return _make_pallas(cfg, "highest")
+
+
+@register(
+    "cke",
+    "pallas_onehot_bf16",
+    "fused Pallas one-hot kernel with bf16 MXU passes (speed point)",
+    supports_f64=False,
+    fast_math=True,
+)
+def make_pallas_onehot_bf16(cfg):
+    return _make_pallas(cfg, "default")

@@ -8,7 +8,12 @@ import pytest
 
 from cdk_tpu.core.config import CkeConfig, with_overrides
 from cdk_tpu.core.norms import pointwise_check
+from cdk_tpu.core import registry as _registry
 from cdk_tpu.kernels.cke import onehot_mxu, problem, reference
+
+
+def _onehot_step(cfg, data):
+    return _registry.make_step(_registry.get("cke", "onehot_mxu"), cfg, data)
 
 SMALL = with_overrides(CkeConfig(), nedges=40, ncells=12, nvertlevels=7, nadv=4)
 
@@ -69,7 +74,7 @@ def test_reference_matches_oracle(small_data, small_oracle):
 
 def test_onehot_matches_reference(small_data):
     ref = np.asarray(reference.make_reference(SMALL)(small_data))
-    out = np.asarray(onehot_mxu.make_onehot_mxu(SMALL)(small_data))
+    out = np.asarray(_onehot_step(SMALL, small_data)(small_data))
     n_bad, max_err, _ = pointwise_check(out, ref, SMALL.errtol)
     assert n_bad == 0
 
@@ -88,7 +93,7 @@ def test_duplicate_cells_accumulate():
     )
     ref = np.asarray(reference.make_reference(SMALL)(d2))
     oracle = oracle_edge_flux(d2, SMALL.coef3rdorder)
-    onehot = np.asarray(onehot_mxu.make_onehot_mxu(SMALL)(d2))
+    onehot = np.asarray(_onehot_step(SMALL, d2)(d2))
     assert pointwise_check(ref, oracle, SMALL.errtol)[0] == 0
     assert pointwise_check(onehot, ref, SMALL.errtol)[0] == 0
 
@@ -99,7 +104,7 @@ def test_shipped_namelist_size():
     cfg = CkeConfig()
     data = problem.init_data(cfg)
     ref = np.asarray(reference.make_reference(cfg)(data))
-    out = np.asarray(onehot_mxu.make_onehot_mxu(cfg)(data))
+    out = np.asarray(_onehot_step(cfg, data)(data))
     n_bad, max_err, lines = pointwise_check(out, ref, cfg.errtol)
     assert n_bad == 0, f"max_err={max_err}\n" + "\n".join(lines[:5])
 
