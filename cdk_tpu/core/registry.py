@@ -56,14 +56,30 @@ def kernels() -> list[str]:
     return sorted(_REGISTRY)
 
 
-def make_step(variant: "Variant", cfg, data):
-    """Materialize a variant into a plain step(data) callable.
+def _materialize(variant: "Variant", cfg, data):
+    """-> (step, loop_or_None).
 
-    Variant factories return either `step` or `(prepare, step2)`, where
-    prepare(data) builds untimed device-resident auxiliaries (prebuilt
-    operators/connectivity — the analog of the reference's untimed staging,
-    nested.F90:400-403) and step2(aux, data) applies them."""
+    Variant factories return one of:
+      step(data)
+      (prepare, step2)            — prepare(data) builds untimed
+                                    device-resident auxiliaries (the analog
+                                    of the reference's untimed staging,
+                                    nested.F90:400-403); step2(aux, data)
+      {"step":…, "prepare":…, "loop":…}
+                                  — `loop(data, n)` runs n steps with state
+                                    kept in the variant's resident layout
+                                    (the reference's `do n=1,nIters` over
+                                    device-resident data, nested.F90:191-199
+                                    — per-step layout conversion at the
+                                    harness boundary is not part of the
+                                    kernel)."""
     made = variant.fn(cfg)
+    loop = None
+    if isinstance(made, dict):
+        loop = made.get("loop")
+        prepare = made.get("prepare")
+        step2 = made["step"]
+        made = (prepare, step2) if prepare else step2
     if isinstance(made, tuple):
         prepare, step2 = made
         aux = prepare(data)
@@ -71,5 +87,10 @@ def make_step(variant: "Variant", cfg, data):
         def step(d, _aux=aux, _s=step2):
             return _s(_aux, d)
 
-        return step
-    return made
+        return step, loop
+    return made, loop
+
+
+def make_step(variant: "Variant", cfg, data):
+    """Materialize a variant into a plain step(data) callable."""
+    return _materialize(variant, cfg, data)[0]

@@ -84,16 +84,19 @@ def run_kernel(
         if cfg.dtype == "float64" and not var.supports_f64:
             say(f" {name:<22s}: skipped (no f64 support)")
             continue
-        step = registry.make_step(var, cfg, data)
+        step, vloop = registry._materialize(var, cfg, data)
         out = jax.block_until_ready(step(data))
         check = spec.verify(cfg, out, ref_out, loose=var.fast_math)
         # per-step time via fetch-synced two-point slope over device-side
-        # scan loops (the reference's nIters loop, with dispatch+fetch
-        # round-trip cancelled)
-        sec = slope_time(
-            lambda n: spec.scan_runner(step, n),
-            data, n1=iters, n2=8 * iters, trials=trials,
-        )
+        # iteration loops (the reference's nIters loop, with dispatch+fetch
+        # round-trip cancelled); variants with a resident-layout loop are
+        # timed through it
+        if vloop is not None:
+            make_runner = lambda n: (lambda d: vloop(d, n))
+        else:
+            make_runner = lambda n: spec.scan_runner(step, n)
+        sec = slope_time(make_runner, data, n1=iters, n2=8 * iters,
+                         trials=trials)
         res = VariantResult(
             kernel, name, check.ok, sec, gp / sec, check.metrics
         )

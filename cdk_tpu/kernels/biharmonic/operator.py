@@ -27,9 +27,12 @@ points flattened C-order p = i*np + j:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from cdk_tpu.core.registry import register
 from cdk_tpu.kernels.biharmonic.problem import (
@@ -103,6 +106,36 @@ def apply_operator_blockdiag(Lbd: jnp.ndarray, q_flat: jnp.ndarray,
                    precision=precision)
 
 
+def _fused_operator_forms(cfg, precision):
+    rr = cfg.np_dtype(cfg.rrearth)
+
+    @jax.jit
+    def step(data: BiharmonicData) -> jnp.ndarray:
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        out = apply_operator(L, to_lane_layout(data.qtens),
+                             precision=precision)
+        return from_lane_layout(out, cfg)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
+        """n chained applications with qtens resident in lane layout —
+        the reference's nIters loop over device-resident push-loop data;
+        layout conversion happens once at each end, not per step."""
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+
+        def body(q, _):
+            return apply_operator(L, q, precision=precision), None
+
+        out, _ = lax.scan(body, to_lane_layout(data.qtens), None, length=n)
+        return from_lane_layout(out, cfg)
+
+    return {"step": step, "loop": loop}
+
+
 @register(
     "biharmonic",
     "fused_operator",
@@ -111,17 +144,7 @@ def apply_operator_blockdiag(Lbd: jnp.ndarray, q_flat: jnp.ndarray,
     "reference push-loop, biharmonic_wk_kernel.F90:369-536)",
 )
 def make_fused_operator(cfg):
-    rr = cfg.np_dtype(cfg.rrearth)
-
-    @jax.jit
-    def step(data: BiharmonicData) -> jnp.ndarray:
-        L = build_element_operator(
-            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
-        )
-        out = apply_operator(L, to_lane_layout(data.qtens))
-        return from_lane_layout(out, cfg)
-
-    return step
+    return _fused_operator_forms(cfg, "highest")
 
 
 @register(
@@ -156,18 +179,7 @@ def make_fused_operator_bd(cfg):
     fast_math=True,
 )
 def make_fused_operator_bf16(cfg):
-    rr = cfg.np_dtype(cfg.rrearth)
-
-    @jax.jit
-    def step(data: BiharmonicData) -> jnp.ndarray:
-        L = build_element_operator(
-            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
-        )
-        out = apply_operator(L, to_lane_layout(data.qtens),
-                             precision="default")
-        return from_lane_layout(out, cfg)
-
-    return step
+    return _fused_operator_forms(cfg, "default")
 
 
 def make_fused_operator_prebuilt(cfg, blockdiag: bool = False):

@@ -132,6 +132,25 @@ def biharmonic_pallas(data: BiharmonicData, rrearth: float) -> jnp.ndarray:
     return _step(data, float(rrearth), pallas_interpret())
 
 
+@functools.partial(jax.jit, static_argnames=("rrearth", "interpret", "n"))
+def _loop(data: BiharmonicData, rrearth: float, interpret: bool,
+          n: int) -> jnp.ndarray:
+    """n chained Pallas applications with qtens resident in lane layout."""
+    import jax.lax as lax
+
+    dt = data.qtens.dtype
+    consts = stage_matrices_jnp(data.dvv).astype(dt)
+    elem_packed = pack_element_fields(
+        data.dinv, data.spheremp, data.tensorvisc
+    ).astype(dt)
+
+    def body(q, _):
+        return _run(consts, elem_packed, q, rrearth, interpret), None
+
+    out, _ = lax.scan(body, to_lane_layout(data.qtens), None, length=n)
+    return out
+
+
 @register(
     "biharmonic",
     "pallas_fused",
@@ -148,4 +167,7 @@ def make_pallas_fused(cfg):
     def step(data: BiharmonicData) -> jnp.ndarray:
         return from_lane_layout(_step(data, rr, interpret), cfg)
 
-    return step
+    def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
+        return from_lane_layout(_loop(data, rr, interpret, n), cfg)
+
+    return {"step": step, "loop": loop}

@@ -8,7 +8,12 @@ import pytest
 
 from cdk_tpu.core.config import BiharmonicConfig, with_overrides
 from cdk_tpu.core.norms import rel_l2
+from cdk_tpu.core import registry as _registry
 from cdk_tpu.kernels.biharmonic import operator, pallas_fused, problem, reference
+
+
+def _step(cfg, name, data):
+    return _registry.make_step(_registry.get("biharmonic", name), cfg, data)
 
 SMALL = with_overrides(BiharmonicConfig(), nelemd=3, nlev=4, qsize=2)
 RR = SMALL.rrearth
@@ -104,7 +109,7 @@ def test_reference_matches_oracle(small_data, small_oracle):
 
 
 def test_fused_operator_matches_reference(small_data, small_oracle):
-    step = operator.make_fused_operator(SMALL)
+    step = _step(SMALL, 'fused_operator', small_data)
     out = np.asarray(step(small_data))
     assert rel_l2(out, small_oracle) < 1e-13
 
@@ -112,7 +117,7 @@ def test_fused_operator_matches_reference(small_data, small_oracle):
 def test_pallas_fused_matches_reference_f32(small_data):
     data32 = small_data.astype(np.float32)
     ref = reference.make_reference(SMALL)(data32)
-    step = pallas_fused.make_pallas_fused(SMALL)
+    step = _step(SMALL, 'pallas_fused', data32)
     out = step(data32)
     assert rel_l2(np.asarray(out), np.asarray(ref)) < 2e-6
 
@@ -121,7 +126,23 @@ def test_full_size_variants_agree():
     cfg = BiharmonicConfig()
     data = problem.init_data(cfg)
     ref = np.asarray(reference.make_reference(cfg)(data))
-    op = np.asarray(operator.make_fused_operator(cfg)(data))
+    op = np.asarray(_step(cfg, 'fused_operator', data)(data))
     assert rel_l2(op, ref) < 1e-12
     # the reference checks GPU2 L2 ≈ 1e-16 at f64; our operator variant
     # reassociates sums, so the tolerance is looser but still tiny.
+
+
+def test_fused_operator_loop_matches_chained_steps(small_data):
+    """The resident-layout loop equals n chained step() calls."""
+    made = operator.make_fused_operator(SMALL)
+    step, loop = made["step"], made["loop"]
+    q = small_data
+    out = q.qtens
+    import dataclasses
+
+    d = q
+    for _ in range(3):
+        out = step(d)
+        d = dataclasses.replace(d, qtens=out)
+    out_loop = loop(small_data, 3)
+    assert rel_l2(np.asarray(out_loop), np.asarray(out)) < 1e-13
