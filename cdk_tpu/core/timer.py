@@ -109,14 +109,17 @@ def fetch_sync(out) -> float:
 
 
 def slope_time(make_runner, data, n1: int = 50, n2: int = 400,
-               trials: int = 5) -> float:
+               trials: int = 5, min_delta: float = 2e-3,
+               max_n: int = 51200) -> float:
     """Best-of per-step seconds via two-point slope: time an n1-step and an
     n2-step device-side loop (each fetch-synced) and return
     (t(n2) − t(n1)) / (n2 − n1).  The slope cancels the constant dispatch +
     fetch round-trip (≈24 ms through the axon tunnel), which would otherwise
-    swamp microsecond kernels."""
-    times = {}
-    for n in (n1, n2):
+    swamp microsecond kernels.  If the slope is below the timing noise
+    floor (`min_delta` seconds), the iteration counts are grown until it is
+    resolvable — sub-µs kernels need thousands of chained steps."""
+
+    def best_of(n):
         r = make_runner(n)
         fetch_sync(r(data))  # compile + warm
         best = float("inf")
@@ -124,5 +127,11 @@ def slope_time(make_runner, data, n1: int = 50, n2: int = 400,
             t0 = time.perf_counter()
             fetch_sync(r(data))
             best = min(best, time.perf_counter() - t0)
-        times[n] = best
-    return max(times[n2] - times[n1], 1e-12) / (n2 - n1)
+        return best
+
+    while True:
+        delta = best_of(n2) - best_of(n1)
+        if delta >= min_delta or n2 >= max_n:
+            return max(delta, 1e-12) / (n2 - n1)
+        n1 *= 4
+        n2 *= 4
