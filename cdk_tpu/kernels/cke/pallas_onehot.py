@@ -41,16 +41,25 @@ from cdk_tpu.kernels.cke.problem import CkeData
 
 
 def _kernel(cells_ref, c1_ref, c3_ref, ntf_ref, advm_ref, t_ref, mask_ref,
-            out_ref, *, coef3rdorder, precision):
+            out_ref, acc_ref, *, coef3rdorder, precision, cell_block):
+    """Grid (edge_blocks, cell_blocks), cell blocks innermost: each step
+    builds the one-hot weights for its (EB, CB) window and accumulates the
+    partial matmul into VMEM scratch; the last cell block applies the edge
+    factors and writes out.  Cell blocking bounds VMEM at production ncells
+    (28k cells would need 2x14 MB of weights unblocked)."""
+    cj = pl.program_id(1)
+    ncb = pl.num_programs(1)
     cells = cells_ref[...]            # (EB, A) int32
-    t = t_ref[...] * mask_ref[...]    # (C, K) masked tracer
+    t = t_ref[...] * mask_ref[...]    # (CB, K) masked tracer block
     dt = t.dtype
     eb, a = cells.shape
-    c = t.shape[0]
 
-    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (eb, c), 1)
-    w1 = jnp.zeros((eb, c), dt)
-    w3 = jnp.zeros((eb, c), dt)
+    base = cj * cell_block
+    cell_ids = base + jax.lax.broadcasted_iota(
+        jnp.int32, (eb, cell_block), 1
+    )
+    w1 = jnp.zeros((eb, cell_block), dt)
+    w3 = jnp.zeros((eb, cell_block), dt)
     c1 = c1_ref[...]
     c3 = c3_ref[...]
     for i in range(a):  # static unroll over contributing cells
@@ -58,46 +67,69 @@ def _kernel(cells_ref, c1_ref, c3_ref, ntf_ref, advm_ref, t_ref, mask_ref,
         w1 = w1 + jnp.where(eq, c1[:, i:i + 1], jnp.asarray(0, dt))
         w3 = w3 + jnp.where(eq, c3[:, i:i + 1], jnp.asarray(0, dt))
 
-    s = jnp.dot(
+    partial = jnp.dot(
         jnp.concatenate([w1, w3], axis=0), t, preferred_element_type=dt,
         precision=precision,
     )
-    s1, s3 = s[:eb], s[eb:]
-    ntf = ntf_ref[...]
-    sgn = jnp.where(ntf >= 0, jnp.asarray(1, dt), jnp.asarray(-1, dt))
-    out_ref[...] = ntf * advm_ref[...] * (s1 + coef3rdorder * s3 * sgn)
+
+    @pl.when(cj == 0)
+    def _():
+        acc_ref[...] = partial
+
+    @pl.when(cj > 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + partial
+
+    @pl.when(cj == ncb - 1)
+    def _():
+        s = acc_ref[...]
+        s1, s3 = s[:eb], s[eb:]
+        ntf = ntf_ref[...]
+        sgn = jnp.where(ntf >= 0, jnp.asarray(1, dt), jnp.asarray(-1, dt))
+        out_ref[...] = ntf * advm_ref[...] * (
+            s1 + coef3rdorder * s3 * sgn
+        )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("coef3rdorder", "edge_block", "interpret", "precision"),
+    static_argnames=("coef3rdorder", "edge_block", "cell_block", "interpret",
+                     "precision"),
 )
 def _run(adv_cells, adv_coefs, adv_coefs3, tracer, cell_mask, ntf, adv_mask,
-         coef3rdorder, edge_block, interpret, precision="highest"):
+         coef3rdorder, edge_block, interpret, precision="highest",
+         cell_block=4096):
     e, a = adv_cells.shape
     c, kv = tracer.shape
     eb = min(edge_block, e)
     assert e % eb == 0, f"nedges={e} not divisible by edge block={eb}"
+    cb = min(cell_block, c)
+    ncb = -(-c // cb)
+    cp = ncb * cb
+    if cp != c:  # zero-pad cells (padded cells match no adv index)
+        tracer = jnp.pad(tracer, ((0, cp - c), (0, 0)))
+        cell_mask = jnp.pad(cell_mask, ((0, cp - c), (0, 0)))
 
-    eblk = lambda d1: pl.BlockSpec((eb, d1), lambda i: (i, 0),
+    eblk = lambda d1: pl.BlockSpec((eb, d1), lambda i, j: (i, 0),
                                    memory_space=pltpu.VMEM)
-    full = lambda s0, s1: pl.BlockSpec((s0, s1), lambda i: (0, 0),
-                                       memory_space=pltpu.VMEM)
+    cblk = pl.BlockSpec((cb, kv), lambda i, j: (j, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel, coef3rdorder=coef3rdorder,
-                          precision=precision),
+                          precision=precision, cell_block=cb),
         out_shape=jax.ShapeDtypeStruct((e, kv), tracer.dtype),
-        grid=(e // eb,),
+        grid=(e // eb, ncb),
         in_specs=[
             eblk(a),            # adv_cells
             eblk(a),            # adv_coefs
             eblk(a),            # adv_coefs3
             eblk(kv),           # ntf
             eblk(kv),           # adv_mask
-            full(c, kv),        # tracer (whole field, VMEM-resident)
-            full(c, kv),        # cell_mask
+            cblk,               # tracer cell block
+            cblk,               # cell_mask cell block
         ],
         out_specs=eblk(kv),
+        scratch_shapes=[pltpu.VMEM((2 * eb, kv), tracer.dtype)],
         interpret=interpret,
     )(adv_cells, adv_coefs, adv_coefs3, ntf, adv_mask, tracer, cell_mask)
 

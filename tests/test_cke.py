@@ -131,3 +131,25 @@ def test_pallas_onehot_midsize_f32():
     from cdk_tpu.core.norms import rel_l1
 
     assert rel_l1(out, ref) < 1e-6
+
+
+def test_pallas_onehot_cell_blocking():
+    """Multiple cell blocks (accumulation path) match the reference."""
+    from cdk_tpu.kernels.cke import pallas_onehot
+
+    cfg = with_overrides(
+        CkeConfig(), nedges=128, ncells=700, nvertlevels=12, dtype="float64"
+    )
+    data = problem.init_data(cfg)
+    ref = np.asarray(reference.make_reference(cfg)(data))
+    import jax
+
+    out = np.asarray(
+        pallas_onehot._run(
+            data.adv_cells, data.adv_coefs, data.adv_coefs3, data.tracer,
+            data.cell_mask, data.ntf, data.adv_mask, cfg.coef3rdorder,
+            64, True, "highest", 256,
+        )
+    )
+    n_bad, max_err, _ = pointwise_check(out, ref, cfg.errtol)
+    assert n_bad == 0, f"max_err={max_err}"
