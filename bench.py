@@ -46,8 +46,12 @@ def main() -> int:
     detail = {}
     for kernel, spec in all_specs().items():
         cfg = with_overrides(spec.default_config(), dtype="float32")
-        results = driver.run_kernel(kernel, cfg, iters=100, trials=3,
-                                    quiet=True)
+        try:
+            results = driver.run_kernel(kernel, cfg, iters=100, trials=3,
+                                        quiet=True)
+        except Exception as e:  # one kernel failing must not zero the bench
+            err(f"[bench] {kernel}: ERROR {type(e).__name__}: {e}")
+            continue
         ok = [r for r in results if r.ok]
         if not ok:
             err(f"[bench] {kernel}: NO PASSING VARIANT")

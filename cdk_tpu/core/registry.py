@@ -57,7 +57,8 @@ def kernels() -> list[str]:
 
 
 def _materialize(variant: "Variant", cfg, data):
-    """-> (step, loop_or_None).
+    """-> (step2, aux, loop_or_None) with the canonical call form
+    step2(aux, data).
 
     Variant factories return one of:
       step(data)
@@ -69,10 +70,12 @@ def _materialize(variant: "Variant", cfg, data):
                                   — `loop(data, n)` runs n steps with state
                                     kept in the variant's resident layout
                                     (the reference's `do n=1,nIters` over
-                                    device-resident data, nested.F90:191-199
-                                    — per-step layout conversion at the
-                                    harness boundary is not part of the
-                                    kernel)."""
+                                    device-resident data, nested.F90:191-199)
+
+    aux is threaded as an explicit jit ARGUMENT everywhere downstream —
+    closing a jitted harness function over large prepared device arrays
+    would embed them as constants in the compile payload (observed: 2×287 MB
+    CKE connectivity matrices blowing the remote-compile request limit)."""
     made = variant.fn(cfg)
     loop = None
     if isinstance(made, dict):
@@ -83,14 +86,16 @@ def _materialize(variant: "Variant", cfg, data):
     if isinstance(made, tuple):
         prepare, step2 = made
         aux = prepare(data)
+        return step2, aux, loop
 
-        def step(d, _aux=aux, _s=step2):
-            return _s(_aux, d)
+    def step2_plain(aux, d, _s=made):
+        return _s(d)
 
-        return step, loop
-    return made, loop
+    return step2_plain, (), loop
 
 
 def make_step(variant: "Variant", cfg, data):
-    """Materialize a variant into a plain step(data) callable."""
-    return _materialize(variant, cfg, data)[0]
+    """Materialize a variant into a plain step(data) callable (aux is
+    passed per call, never closure-captured into downstream jits)."""
+    step2, aux, _ = _materialize(variant, cfg, data)
+    return lambda d: step2(aux, d)

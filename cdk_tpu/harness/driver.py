@@ -84,8 +84,8 @@ def run_kernel(
         if cfg.dtype == "float64" and not var.supports_f64:
             say(f" {name:<22s}: skipped (no f64 support)")
             continue
-        step, vloop = registry._materialize(var, cfg, data)
-        out = jax.block_until_ready(step(data))
+        step2, aux, vloop = registry._materialize(var, cfg, data)
+        out = jax.block_until_ready(step2(aux, data))
         check = spec.verify(cfg, out, ref_out, loose=var.fast_math)
         # per-step time via fetch-synced two-point slope over device-side
         # iteration loops (the reference's nIters loop, with dispatch+fetch
@@ -94,7 +94,7 @@ def run_kernel(
         if vloop is not None:
             make_runner = lambda n: (lambda d: vloop(d, n))
         else:
-            make_runner = lambda n: spec.scan_runner(step, n)
+            make_runner = lambda n: spec.scan_runner(step2, aux, n)
         sec = slope_time(make_runner, data, n1=iters, n2=8 * iters,
                          trials=trials)
         res = VariantResult(

@@ -96,39 +96,39 @@ def _verify_cke(cfg, out, ref, loose=False) -> CheckResult:
     )
 
 
-def _scan_biharmonic(step, n):
+def _scan_biharmonic(step2, aux, n):
     """Chain n Laplacian applications (qtens feeds back)."""
     import jax
     from jax import lax
 
     @jax.jit
-    def run(data):
+    def run(aux, data):
         def body(q, _):
-            return step(_dc_replace(data, qtens=q)), None
+            return step2(aux, _dc_replace(data, qtens=q)), None
         out, _ = lax.scan(body, data.qtens, None, length=n)
         return out
 
-    return run
+    return lambda data: run(aux, data)
 
 
-def _scan_mpdata(step, n):
+def _scan_mpdata(step2, aux, n):
     """n advection steps: f and flux feed back (a real multi-step
     integration, unlike the reference's single call)."""
     import jax
     from jax import lax
 
     @jax.jit
-    def run(data):
+    def run(aux, data):
         def body(carry, _):
             f, flux = carry
-            return step(_dc_replace(data, f=f, flux=flux)), None
+            return step2(aux, _dc_replace(data, f=f, flux=flux)), None
         out, _ = lax.scan(body, (data.f, data.flux), None, length=n)
         return out
 
-    return run
+    return lambda data: run(aux, data)
 
 
-def _scan_cke(step, n):
+def _scan_cke(step2, aux, n):
     """n flux iterations; tracerCur *= cellMask each pass like the
     reference's forms 2/3 (nested.F90:297-310) — idempotent in value but a
     real data dependence, so XLA cannot hoist the body out of the loop."""
@@ -136,10 +136,10 @@ def _scan_cke(step, n):
     from jax import lax
 
     @jax.jit
-    def run(data):
+    def run(aux, data):
         def body(carry, _):
             tracer, _ = carry
-            flx = step(_dc_replace(data, tracer=tracer))
+            flx = step2(aux, _dc_replace(data, tracer=tracer))
             # carry the result instead of stacking n copies of it
             return (tracer * data.cell_mask, flx), None
         import jax.numpy as jnp
@@ -149,7 +149,7 @@ def _scan_cke(step, n):
                                length=n)
         return flx
 
-    return run
+    return lambda data: run(aux, data)
 
 
 def _specs() -> dict[str, KernelSpec]:
