@@ -65,6 +65,18 @@ def _block3(shape, b):
                         memory_space=pltpu.VMEM)
 
 
+def auto_block(nslices: int, nx: int, nzm: int, itemsize: int) -> int:
+    """Largest slice block whose ~12-array working set fits in ~60% of
+    VMEM, as a divisor of nslices. Bigger blocks amortize the (sequential,
+    single-core) grid steps."""
+    per_slice = 12 * (nx + 6) * (-(-nzm // 128) * 128) * itemsize
+    cap = max(1, int(16 * 2**20 * 0.6) // per_slice)
+    b = min(nslices, cap)
+    while nslices % b:
+        b -= 1
+    return b
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def _run(f, u, w, rho, rhow, adz, flux, block, interpret):
     s, _, nzm = f.shape
@@ -99,8 +111,11 @@ def _run(f, u, w, rho, rhow, adz, flux, block, interpret):
     )(kspan, f, u, w, rho, rhow, adz, flux)
 
 
-def advect_scalar2d_pallas(data: MpdataData, block: int = 8):
+def advect_scalar2d_pallas(data: MpdataData, block: int | None = None):
     """One fused-Pallas MPDATA step; returns (f, flux)."""
+    s, fx, nzm = data.f.shape
+    if block is None:
+        block = auto_block(s, fx - 6, nzm, data.f.dtype.itemsize)
     return _run(
         data.f, data.u, data.w, data.rho, data.rhow, data.adz, data.flux,
         block, pallas_interpret(),
@@ -116,12 +131,14 @@ def advect_scalar2d_pallas(data: MpdataData, block: int = 8):
 )
 def make_pallas_fused(cfg):
     interpret = pallas_interpret()
+    block = auto_block(cfg.nslices, cfg.nx, cfg.nzm,
+                       4 if cfg.dtype != "float64" else 8)
 
     @jax.jit
     def step(data: MpdataData):
         return _run(
             data.f, data.u, data.w, data.rho, data.rhow, data.adz, data.flux,
-            8, interpret,
+            block, interpret,
         )
 
     return step
