@@ -59,3 +59,31 @@ def pointwise_check(
                 f"expected {ref[tuple(idx)]!r}"
             )
     return n_bad, max_err, lines
+
+
+def device_host_consistency(device_tree, host_tree, tol: float = 0.0):
+    """Elementwise device-vs-host buffer comparison — the analog of the
+    reference's yakl_check (nested_yakl_c.cpp:237-264), which verifies that
+    device copies of cellMask/tracerCur still match the host arrays.
+
+    Returns (ok, report_lines). tol=0 demands bitwise equality (transfers
+    must be lossless)."""
+    import jax
+
+    d_leaves = jax.tree_util.tree_leaves(device_tree)
+    h_leaves = jax.tree_util.tree_leaves(host_tree)
+    lines = []
+    ok = True
+    for i, (d, h) in enumerate(zip(d_leaves, h_leaves)):
+        dv = np.asarray(jax.device_get(d))
+        hv = np.asarray(h)
+        if dv.shape != hv.shape:
+            ok = False
+            lines.append(f" leaf {i}: shape {dv.shape} != {hv.shape}")
+            continue
+        err = np.max(np.abs(dv.astype(np.float64) - hv.astype(np.float64))) \
+            if dv.size else 0.0
+        if err > tol:
+            ok = False
+            lines.append(f" leaf {i}: max abs device-host diff {err!r}")
+    return ok, lines

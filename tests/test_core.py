@@ -113,3 +113,21 @@ def test_norms():
     x[1] = np.nan
     n_bad, _, _ = norms.pointwise_check(x, ref, tol=1.0)
     assert n_bad == 1
+
+
+def test_device_host_consistency():
+    """yakl_check analog: device copies match host arrays bitwise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cdk_tpu.core.norms import device_host_consistency
+
+    host = {"a": np.arange(12.0).reshape(3, 4), "b": np.ones(5)}
+    dev = jax.device_put({"a": jnp.asarray(host["a"]),
+                          "b": jnp.asarray(host["b"])})
+    ok, lines = device_host_consistency(dev, host)
+    assert ok, lines
+    bad = {"a": host["a"] + 1e-9, "b": host["b"]}
+    ok, lines = device_host_consistency(dev, bad)
+    assert not ok and lines
