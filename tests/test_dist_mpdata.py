@@ -84,3 +84,21 @@ def test_weak_scaling_harness_runs():
     )
     assert len(pts) == 2 and pts[0].efficiency == 1.0
     assert all(p.grid_points_per_s > 0 for p in pts)
+
+
+def test_overlap_multistep_matches_reference():
+    cfg = with_overrides(MpdataConfig(), nx=64, nslices=4, nz=12)
+    data = problem.init_data(cfg)
+    ref_step = reference.make_reference(cfg)
+    m = meshmod.make_mesh(4)
+    shard_inputs, _, gather_f = dist_mpdata.make_dist_step(cfg, m)
+    step_ov = dist_mpdata.make_dist_step_overlap(cfg, m)
+    f_s, u_s, w_s, aux = shard_inputs(data)
+    d = data
+    f_ref = None
+    for _ in range(4):
+        f_ref, flux_ref = ref_step(d)
+        d = problem.MpdataData(f_ref, d.u, d.w, d.rho, d.rhow, d.adz,
+                               flux_ref)
+        f_s, _ = step_ov(f_s, u_s, w_s, aux)
+    assert rel_l1(gather_f(f_s), np.asarray(f_ref)) < 1e-13
