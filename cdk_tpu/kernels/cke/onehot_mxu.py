@@ -51,24 +51,32 @@ def apply_onehot(a1, a3, tracer, cell_mask, ntf, adv_mask, coef3rdorder,
                  precision="highest"):
     # precision="highest": default f32 MXU runs bf16 passes (~1e-3 relative
     # error over the K=ncells contraction); the bf16 variant opts out.
-    t = tracer * cell_mask
-    s1 = jnp.dot(a1, t, preferred_element_type=t.dtype, precision=precision)
-    s3 = jnp.dot(a3, t, preferred_element_type=t.dtype, precision=precision)
+    t = (tracer * cell_mask).astype(a1.dtype)
+    out_dt = tracer.dtype
+    s1 = jnp.dot(a1, t, preferred_element_type=out_dt, precision=precision)
+    s3 = jnp.dot(a3, t, preferred_element_type=out_dt, precision=precision)
     return ntf * adv_mask * (s1 + coef3rdorder * s3 * fsign1(ntf))
 
 
 def _make_onehot(cfg, precision):
     c3 = cfg.np_dtype(cfg.coef3rdorder)
     ncells = cfg.ncells
+    # the bf16 speed point also STORES the connectivity matrices in bf16:
+    # per-iteration HBM streaming of A1/A3 halves (they dominate traffic at
+    # 2 x nedges x ncells)
+    store_dt = jnp.bfloat16 if precision == "default" else None
 
     @jax.jit
     def prepare(data: CkeData):
         # untimed connectivity staging, the analog of cke_init's one-time
         # deep_copy (nested.F90:400-403 is under timerData, not the
         # iteration loop)
-        return build_connectivity_matrices(
+        a1, a3 = build_connectivity_matrices(
             data.adv_cells, data.adv_coefs, data.adv_coefs3, ncells
         )
+        if store_dt is not None:
+            a1, a3 = a1.astype(store_dt), a3.astype(store_dt)
+        return a1, a3
 
     @jax.jit
     def step(aux, data: CkeData) -> jnp.ndarray:
