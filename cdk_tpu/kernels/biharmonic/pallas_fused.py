@@ -10,9 +10,13 @@ MXU (see operator.stage_matrices) with the batch on lanes, and the
 per-element 2×2 metric contractions are VPU elementwise ops broadcast from
 16-point sublane vectors.
 
-Grid: one program per spectral element. Per-element VMEM footprint at f32:
-(16, 2880) ≈ 184 KiB per live buffer — everything stays on-chip; HBM traffic
-is the speed-of-light 2 × qtens bytes.
+Grid: one program per BLOCK of elements. The np-point stage matrices are
+element-independent, so a block of B elements contracts as ONE
+(B·16, B·16) block-diagonal constant matrix (kron(I_B, A)) against the
+(B·16, ncol) stacked element states — at B=8 that is a full 128-wide MXU
+tile instead of a 16-row sliver (8× systolic utilization). Per-program VMEM
+at f32, B=8: ~6 live (128, 2880) buffers ≈ 9 MB — on-chip; HBM traffic is
+the speed-of-light 2 × qtens bytes.
 """
 
 from __future__ import annotations
@@ -79,12 +83,14 @@ def pack_element_fields(dinv, spheremp, tensorvisc) -> jnp.ndarray:
     return jnp.stack([r.reshape(e, npts) for r in rows], axis=1)
 
 
-def stage_matrices_jnp(dvv: jnp.ndarray) -> jnp.ndarray:
-    """(4, npts, npts) stacked [A1, A2, B1, B2] built on-device (see
-    operator.stage_matrices for the derivation)."""
+def stage_matrices_jnp(dvv: jnp.ndarray, eblock: int = 1) -> jnp.ndarray:
+    """(4, B·npts, B·npts) stacked block-diagonal [A1, A2, B1, B2]: the
+    per-point stage matrices (see operator.stage_matrices) replicated
+    kron(I_B, ·) so a block of B elements contracts in one MXU-shaped
+    matmul."""
     n = dvv.shape[0]
     eye = jnp.eye(n, dtype=dvv.dtype)
-    return jnp.stack(
+    mats = jnp.stack(
         [
             jnp.kron(dvv.T, eye),
             jnp.kron(eye, dvv.T),
@@ -92,26 +98,51 @@ def stage_matrices_jnp(dvv: jnp.ndarray) -> jnp.ndarray:
             jnp.kron(eye, dvv),
         ]
     )
+    if eblock > 1:
+        beye = jnp.eye(eblock, dtype=dvv.dtype)
+        mats = jax.vmap(lambda m: jnp.kron(beye, m))(mats)
+    return mats
 
 
 def _run(consts, elem_packed, q_lane, rrearth, interpret):
-    nelemd, npts, ncol = q_lane.shape
+    """consts (4, P, P), elem_packed (G, 9, P), q_lane (G, P, ncol) with
+    P = eblock·npts and G = nelemd//eblock element groups."""
+    g, p, ncol = q_lane.shape
     return pl.pallas_call(
         functools.partial(_kernel, rrearth=rrearth),
         out_shape=jax.ShapeDtypeStruct(q_lane.shape, q_lane.dtype),
-        grid=(nelemd,),
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((4, npts, npts), lambda e: (0, 0, 0),
+            pl.BlockSpec((4, p, p), lambda e: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, npts), lambda e: (e, 0, 0),
+            pl.BlockSpec((1, 9, p), lambda e: (e, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npts, ncol), lambda e: (e, 0, 0),
+            pl.BlockSpec((1, p, ncol), lambda e: (e, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, npts, ncol), lambda e: (e, 0, 0),
+        out_specs=pl.BlockSpec((1, p, ncol), lambda e: (e, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(consts, elem_packed, q_lane)
+
+
+def _eblock(nelemd: int) -> int:
+    """Largest element block ≤ 8 dividing nelemd (8·np² = 128 = one full
+    MXU/lane tile)."""
+    b = min(8, nelemd)
+    while nelemd % b:
+        b -= 1
+    return b
+
+
+def _group(elem_packed, q_lane, b):
+    """(e, 9, npts), (e, npts, ncol) -> grouped (e/b, 9, b·npts),
+    (e/b, b·npts, ncol)."""
+    e, _, npts = elem_packed.shape
+    ncol = q_lane.shape[-1]
+    g = e // b
+    ep = elem_packed.reshape(g, b, 9, npts).transpose(0, 2, 1, 3)
+    return ep.reshape(g, 9, b * npts), q_lane.reshape(g, b * npts, ncol)
 
 
 @functools.partial(jax.jit, static_argnames=("rrearth", "interpret"))
@@ -119,12 +150,15 @@ def _step(data: BiharmonicData, rrearth: float, interpret: bool) -> jnp.ndarray:
     """One fused executable: setup (stage matrices, element packing, layout
     transform) + the Pallas kernel, traced once per shape/dtype."""
     dt = data.qtens.dtype
-    consts = stage_matrices_jnp(data.dvv).astype(dt)
+    e = data.dinv.shape[0]
+    b = _eblock(e)
+    consts = stage_matrices_jnp(data.dvv, b).astype(dt)
     elem_packed = pack_element_fields(
         data.dinv, data.spheremp, data.tensorvisc
     ).astype(dt)
-    q_lane = to_lane_layout(data.qtens)
-    return _run(consts, elem_packed, q_lane, rrearth, interpret)
+    ep, ql = _group(elem_packed, to_lane_layout(data.qtens), b)
+    out = _run(consts, ep, ql, rrearth, interpret)
+    return out.reshape(e, -1, out.shape[-1])
 
 
 def biharmonic_pallas(data: BiharmonicData, rrearth: float) -> jnp.ndarray:
@@ -135,20 +169,24 @@ def biharmonic_pallas(data: BiharmonicData, rrearth: float) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("rrearth", "interpret", "n"))
 def _loop(data: BiharmonicData, rrearth: float, interpret: bool,
           n: int) -> jnp.ndarray:
-    """n chained Pallas applications with qtens resident in lane layout."""
+    """n chained Pallas applications with qtens resident in grouped lane
+    layout."""
     import jax.lax as lax
 
     dt = data.qtens.dtype
-    consts = stage_matrices_jnp(data.dvv).astype(dt)
+    e = data.dinv.shape[0]
+    b = _eblock(e)
+    consts = stage_matrices_jnp(data.dvv, b).astype(dt)
     elem_packed = pack_element_fields(
         data.dinv, data.spheremp, data.tensorvisc
     ).astype(dt)
+    ep, ql = _group(elem_packed, to_lane_layout(data.qtens), b)
 
     def body(q, _):
-        return _run(consts, elem_packed, q, rrearth, interpret), None
+        return _run(consts, ep, q, rrearth, interpret), None
 
-    out, _ = lax.scan(body, to_lane_layout(data.qtens), None, length=n)
-    return out
+    out, _ = lax.scan(body, ql, None, length=n)
+    return out.reshape(e, -1, out.shape[-1])
 
 
 @register(
