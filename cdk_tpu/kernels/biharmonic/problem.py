@@ -56,7 +56,14 @@ def init_data(cfg: BiharmonicConfig = BiharmonicConfig()) -> BiharmonicData:
     """Deterministic init, bit-identical to the reference initialize_data
     (biharmonic_wk_kernel.F90:48-58): LCG reset to seed 11, then fill
     Dvv, per-element (Dinv, spheremp, tensorVisc), then qtens, each array
-    traversed in Fortran column-major order."""
+    traversed in Fortran column-major order.
+
+    With cfg.device_init, arrays are instead generated ON DEVICE from a
+    jax.random stream (same shapes/distributions; production scale where
+    transferring hundreds of MB of host arrays is the bottleneck and
+    Fortran-stream parity is not the point)."""
+    if cfg.device_init:
+        return _init_data_device(cfg)
     n = cfg.np_gll
     gen = Lcg()
     dvv = gen.fill_fortran((n, n))
@@ -98,3 +105,20 @@ def from_lane_layout(q_lane: jnp.ndarray, cfg: BiharmonicConfig) -> jnp.ndarray:
     e = q_lane.shape[0]
     n = cfg.np_gll
     return q_lane.transpose(0, 2, 1).reshape(e, cfg.qsize, cfg.nlev, n, n)
+
+
+def _init_data_device(cfg: BiharmonicConfig) -> BiharmonicData:
+    import jax.random as jr
+
+    dt = cfg.np_dtype
+    n = cfg.np_gll
+    k = jr.PRNGKey(11)
+    ks = jr.split(k, 5)
+    u = lambda key, shape: jr.uniform(key, shape, dtype=jnp.float32).astype(dt)
+    return BiharmonicData(
+        u(ks[0], (n, n)),
+        u(ks[1], (cfg.nelemd, n, n, 2, 2)),
+        u(ks[2], (cfg.nelemd, n, n)),
+        u(ks[3], (cfg.nelemd, n, n, 2, 2)),
+        u(ks[4], (cfg.nelemd, cfg.qsize, cfg.nlev, n, n)),
+    )

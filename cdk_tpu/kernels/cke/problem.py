@@ -71,6 +71,8 @@ class CkeData:
 
 
 def init_data(cfg: CkeConfig = CkeConfig()) -> CkeData:
+    if cfg.device_init:
+        return _init_data_device(cfg)
     gen = HostRng(cfg.seed)
     c, e, kv, a = cfg.ncells, cfg.nedges, cfg.nvertlevels, cfg.nadv
 
@@ -106,4 +108,39 @@ def init_data(cfg: CkeConfig = CkeConfig()) -> CkeData:
         jnp.asarray(adv_mask, dt),
         jnp.asarray(min_level),
         jnp.asarray(max_level),
+    )
+
+
+def _init_data_device(cfg: CkeConfig) -> CkeData:
+    """On-device generation (production scale), same structure as the host
+    path: random topography depth, masked tracer, random connectivity."""
+    import jax.random as jr
+
+    dt = cfg.np_dtype
+    c, e, kv, a = cfg.ncells, cfg.nedges, cfg.nvertlevels, cfg.nadv
+    k = jr.PRNGKey(cfg.seed)
+    ks = jr.split(k, 7)
+    u = lambda key, shape: jr.uniform(key, shape, dtype=jnp.float32).astype(dt)
+
+    depth = jnp.minimum(
+        jnp.maximum(3, jnp.round(
+            jr.uniform(ks[0], (c,), dtype=jnp.float32) * kv * 2.0
+        ).astype(jnp.int32)), kv)
+    min_level = jnp.zeros((c,), jnp.int32)
+    max_level = depth - 1
+    k_idx = jnp.arange(kv)[None, :]
+    active = (k_idx >= min_level[:, None]) & (k_idx <= max_level[:, None])
+    tracer = jnp.where(active, 15.0 * u(ks[1], (c, kv)), 0).astype(dt)
+    cell_mask = active.astype(dt)
+    adv_cells = jr.randint(ks[2], (e, a), 0, c, dtype=jnp.int32)
+    return CkeData(
+        adv_cells,
+        (20.0 * u(ks[3], (e, a))).astype(dt),
+        (21.0 * u(ks[4], (e, a))).astype(dt),
+        tracer,
+        cell_mask,
+        (15.0 * (0.5 - u(ks[5], (e, kv)))).astype(dt),
+        jnp.ones((e, kv), dt),
+        min_level,
+        max_level,
     )

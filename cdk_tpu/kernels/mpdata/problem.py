@@ -79,6 +79,8 @@ def init_data(cfg: MpdataConfig = MpdataConfig()) -> MpdataData:
     """Deterministic init from one documented PCG64 stream (draw order
     mirrors the reference's: adz, f, u, w, rho, rhow, flux,
     advect…F90:654-660)."""
+    if cfg.device_init:
+        return _init_data_device(cfg)
     gen = HostRng(cfg.seed)
     s, nx, nz, nzm = cfg.nslices, cfg.nx, cfg.nz, cfg.nzm
     adz = gen.uniform((s, nzm)) + 0.5
@@ -93,4 +95,25 @@ def init_data(cfg: MpdataConfig = MpdataConfig()) -> MpdataData:
         jnp.asarray(f, dt), jnp.asarray(u, dt), jnp.asarray(w, dt),
         jnp.asarray(rho, dt), jnp.asarray(rhow, dt), jnp.asarray(adz, dt),
         jnp.asarray(flux, dt),
+    )
+
+
+def _init_data_device(cfg: MpdataConfig) -> MpdataData:
+    """On-device generation (production scale), same shapes/distributions
+    as the host path."""
+    import jax.random as jr
+
+    dt = cfg.np_dtype
+    s, nx, nz, nzm = cfg.nslices, cfg.nx, cfg.nz, cfg.nzm
+    k = jr.PRNGKey(cfg.seed)
+    ks = jr.split(k, 7)
+    u = lambda key, shape: jr.uniform(key, shape, dtype=jnp.float32).astype(dt)
+    return MpdataData(
+        u(ks[1], (s, nx + 6, nzm)),
+        u(ks[2], (s, nx + 5, nzm)) - dt(0.5),
+        u(ks[3], (s, nx + 4, nz)) - dt(0.5),
+        u(ks[4], (s, nzm)) + dt(0.5),
+        u(ks[5], (s, nz)) + dt(0.5),
+        u(ks[0], (s, nzm)) + dt(0.5),
+        u(ks[6], (s, nz)),
     )

@@ -131,3 +131,34 @@ def test_device_host_consistency():
     bad = {"a": host["a"] + 1e-9, "b": host["b"]}
     ok, lines = device_host_consistency(dev, bad)
     assert not ok and lines
+
+
+def test_device_init_paths():
+    """Device-side init: same shapes/structure as host init, deterministic."""
+    import numpy as np
+
+    from cdk_tpu.core.config import (
+        BiharmonicConfig, CkeConfig, MpdataConfig, with_overrides
+    )
+    from cdk_tpu.kernels.biharmonic import problem as bp
+    from cdk_tpu.kernels.cke import problem as cp
+    from cdk_tpu.kernels.mpdata import problem as mp
+
+    b = bp.init_data(with_overrides(
+        BiharmonicConfig(), nelemd=2, nlev=3, qsize=2, dtype="float32",
+        device_init=True))
+    assert b.qtens.shape == (2, 2, 3, 4, 4)
+    m = mp.init_data(with_overrides(
+        MpdataConfig(), nslices=2, nx=4, nz=6, dtype="float32",
+        device_init=True))
+    assert m.f.shape == (2, 10, 5)
+    c = cp.init_data(with_overrides(
+        CkeConfig(), nedges=8, ncells=6, nvertlevels=5, nadv=3,
+        dtype="float32", device_init=True))
+    tr, cm = np.asarray(c.tracer), np.asarray(c.cell_mask)
+    assert (tr[cm == 0.0] == 0.0).all()
+    assert (np.asarray(c.adv_cells) < 6).all()
+    c2 = cp.init_data(with_overrides(
+        CkeConfig(), nedges=8, ncells=6, nvertlevels=5, nadv=3,
+        dtype="float32", device_init=True))
+    np.testing.assert_array_equal(np.asarray(c.tracer), np.asarray(c2.tracer))
