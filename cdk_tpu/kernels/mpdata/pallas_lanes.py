@@ -1,0 +1,181 @@
+"""Lanes-on-slices Pallas MPDATA kernel: layout (x, z, slice).
+
+The default fused kernel (pallas_fused) keeps the reference-shaped
+(slice, x, z) layout: z on lanes. nzm=57 fills 57/128 lanes and x=38 rides
+sublanes — every VPU op runs ~40% occupied. This variant instead puts the
+SLICE batch on lanes (it is the one axis no stencil ever crosses — the
+deepest version of the reference's "pushncols" batching trick,
+advect…F90:30-46):
+
+    (x, z, s): x leading (stencil shifts become block-offset reads),
+               z on sublanes (57→64, 89% occupied),
+               slices on lanes in blocks of 128 (100% occupied).
+
+The staged math is STILL reference.advect_scalar2d — applied per-slice via
+`jax.vmap` over the trailing slice axis, so the batching rules retarget
+every op to the (x, z, s) layout with zero semantic divergence from the
+trusted core.
+
+Slice blocks of 128 at f32: ~12 live (38, 64, 128) buffers ≈ 15 MB — at the
+VMEM edge, so the slice block is halved automatically when needed."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cdk_tpu.core.platform import pallas_interpret
+from cdk_tpu.core.registry import register
+from cdk_tpu.kernels.mpdata.problem import MpdataData
+from cdk_tpu.kernels.mpdata.reference import advect_scalar2d
+
+
+def _single(f, u, w, rho, rhow, adz, flux, kspan):
+    """One slice, (x, z) arrays — the trusted core at S=1."""
+    f_out, flux_out = advect_scalar2d(
+        f[None], u[None], w[None], rho[None], rhow[None], adz[None],
+        flux[None], kspan=kspan,
+    )
+    return f_out[0], flux_out[0]
+
+
+def _kernel(kspan_ref, f_ref, u_ref, w_ref, rho_ref, rhow_ref, adz_ref,
+            flux_ref, fout_ref, fluxout_ref):
+    kspan = kspan_ref[...]
+    run = jax.vmap(
+        functools.partial(_single, kspan=kspan),
+        in_axes=-1, out_axes=-1,
+    )
+    f_out, flux_out = run(
+        f_ref[...], u_ref[...], w_ref[...], rho_ref[...], rhow_ref[...],
+        adz_ref[...], flux_ref[...],
+    )
+    fout_ref[...] = f_out
+    fluxout_ref[...] = flux_out
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _run_zs(f, u, w, rho, rhow, adz, flux, block, interpret):
+    """Inputs in (x, z, s) / (z, s) layout; s divisible by block."""
+    _, nzm, s = f.shape
+    assert s % block == 0
+    kspan_np = np.minimum(nzm - 1, np.arange(nzm) + 1) - np.maximum(
+        0, np.arange(nzm) - 1
+    )
+    kspan = jnp.asarray(kspan_np, f.dtype)[None, :]
+    b3 = lambda a: pl.BlockSpec((a.shape[0], a.shape[1], block),
+                                lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    b2 = lambda a: pl.BlockSpec((a.shape[0], block), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(f.shape, f.dtype),
+            jax.ShapeDtypeStruct(flux.shape, flux.dtype),
+        ),
+        grid=(s // block,),
+        in_specs=[
+            pl.BlockSpec((1, nzm), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            b3(f), b3(u), b3(w), b2(rho), b2(rhow), b2(adz), b2(flux),
+        ],
+        out_specs=(b3(f), b2(flux)),
+        interpret=interpret,
+    )(kspan, f, u, w, rho, rhow, adz, flux)
+
+
+def _to_zs(a):
+    """(s, ..., z) -> (..., z, s): move the slice axis last."""
+    return jnp.moveaxis(a, 0, -1)
+
+
+def _lane_block(nslices: int, nx: int, nzm: int, itemsize: int) -> int:
+    """Slice-lane block: 128 when the working set fits, else halved."""
+    per_slice = 14 * (nx + 6) * (-(-nzm // 8) * 8) * itemsize
+    cap = max(1, int(16 * 2**20 * 0.55) // per_slice)
+    b = 128
+    while b > cap or nslices % b:
+        b //= 2
+        if b == 0:
+            return 1
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _step(f, u, w, rho, rhow, adz, flux, block, interpret):
+    s = f.shape[0]
+    pad = (-s) % block
+    if pad:
+        # pad the slice batch; rho/rhow/adz pad with ones (divided by)
+        zpad3 = lambda a: jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+        opad2 = lambda a: jnp.pad(a, ((0, pad), (0, 0)),
+                                  constant_values=1.0)
+        f, u, w = zpad3(f), zpad3(u), zpad3(w)
+        rho, rhow, adz = opad2(rho), opad2(rhow), opad2(adz)
+        flux = jnp.pad(flux, ((0, pad), (0, 0)))
+    f_out, flux_out = _run_zs(
+        _to_zs(f), _to_zs(u), _to_zs(w), _to_zs(rho), _to_zs(rhow),
+        _to_zs(adz), _to_zs(flux), block, interpret,
+    )
+    f_out = jnp.moveaxis(f_out, -1, 0)[:s]
+    flux_out = jnp.moveaxis(flux_out, -1, 0)[:s]
+    return f_out, flux_out
+
+
+@register(
+    "mpdata",
+    "pallas_lanes",
+    "fused Pallas kernel with the slice batch on VPU lanes ((x, z, s) "
+    "layout, 128-slice blocks): full lane occupancy for large batched-CRM "
+    "slice counts; same staged core via vmap over the trailing axis",
+)
+def make_pallas_lanes(cfg):
+    interpret = pallas_interpret()
+    block = _lane_block(cfg.nslices, cfg.nx, cfg.nzm,
+                        4 if cfg.dtype != "float64" else 8)
+
+    @jax.jit
+    def step(data: MpdataData):
+        return _step(
+            data.f, data.u, data.w, data.rho, data.rhow, data.adz,
+            data.flux, block, interpret,
+        )
+
+    def loop(data: MpdataData, n: int):
+        return _loop(
+            data.f, data.u, data.w, data.rho, data.rhow, data.adz,
+            data.flux, block, interpret, n,
+        )
+
+    return {"step": step, "loop": loop}
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "n"))
+def _loop(f, u, w, rho, rhow, adz, flux, block, interpret, n):
+    """n steps with state resident in the (x, z, s) layout."""
+    from jax import lax
+
+    s = f.shape[0]
+    pad = (-s) % block
+    if pad:
+        zpad3 = lambda a: jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+        opad2 = lambda a: jnp.pad(a, ((0, pad), (0, 0)), constant_values=1.0)
+        f, u, w = zpad3(f), zpad3(u), zpad3(w)
+        rho, rhow, adz = opad2(rho), opad2(rhow), opad2(adz)
+        flux = jnp.pad(flux, ((0, pad), (0, 0)))
+    uz, wz = _to_zs(u), _to_zs(w)
+    rhoz, rhowz, adzz = _to_zs(rho), _to_zs(rhow), _to_zs(adz)
+
+    def body(carry, _):
+        fz, fluxz = carry
+        return _run_zs(fz, uz, wz, rhoz, rhowz, adzz, fluxz, block,
+                       interpret), None
+
+    (fz, fluxz), _ = lax.scan(body, (_to_zs(f), _to_zs(flux)), None,
+                              length=n)
+    return (jnp.moveaxis(fz, -1, 0)[:s], jnp.moveaxis(fluxz, -1, 0)[:s])

@@ -211,3 +211,32 @@ def test_pallas_fused_full_size_f32():
     f_out, flux_out = pallas_fused.make_pallas_fused(cfg)(data)
     assert rel_l1(np.asarray(f_out), np.asarray(f_ref)) < 1e-5
     assert rel_l1(np.asarray(flux_out), np.asarray(flux_ref)) < 1e-4
+
+
+def test_pallas_lanes_matches_reference(small_data):
+    from cdk_tpu.core import registry as _registry
+    from cdk_tpu.kernels.mpdata import pallas_lanes  # noqa: F401
+
+    f_ref, flux_ref = reference.make_reference(SMALL)(small_data)
+    step = _registry.make_step(
+        _registry.get("mpdata", "pallas_lanes"), SMALL, small_data
+    )
+    f_out, flux_out = step(small_data)
+    assert rel_l1(np.asarray(f_out), np.asarray(f_ref)) < 1e-14
+    assert rel_l1(np.asarray(flux_out), np.asarray(flux_ref)) < 1e-14
+
+
+def test_pallas_lanes_loop_and_fullsize():
+    from cdk_tpu.core import registry as _registry
+    from cdk_tpu.kernels.mpdata import pallas_lanes
+
+    cfg = MpdataConfig()
+    data = problem.init_data(cfg)
+    f1, flux1 = reference.make_reference(cfg)(data)
+    d2 = problem.MpdataData(f1, data.u, data.w, data.rho, data.rhow,
+                            data.adz, flux1)
+    f2, flux2 = reference.make_reference(cfg)(d2)
+    made = pallas_lanes.make_pallas_lanes(cfg)
+    f_l, flux_l = made["loop"](data, 2)
+    assert rel_l1(np.asarray(f_l), np.asarray(f2)) < 1e-13
+    assert rel_l1(np.asarray(flux_l), np.asarray(flux2)) < 1e-13
