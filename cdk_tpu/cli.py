@@ -51,6 +51,8 @@ def main(argv=None) -> int:
                       help="reference-format nested.nml (cke only)")
     runp.add_argument("--preset", default=None, choices=["production"],
                       help="use the production-scale config preset")
+    runp.add_argument("--device-init", action="store_true",
+                      help="generate inputs on device (jax.random)")
 
     scalep = sub.add_parser(
         "scaling", help="weak-scaling sweep of the dist mpdata step"
@@ -99,6 +101,8 @@ def main(argv=None) -> int:
     overrides = _parse_set(args.sets)
     if args.dtype:
         overrides["dtype"] = args.dtype
+    if getattr(args, "device_init", False):
+        overrides["device_init"] = True
 
     if args.kernel == "all":
         results = driver.run_all(iters=args.iters, trials=args.trials,
