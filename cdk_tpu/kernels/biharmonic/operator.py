@@ -156,6 +156,14 @@ def make_fused_operator(cfg):
 def make_fused_operator_bd(cfg):
     rr = cfg.np_dtype(cfg.rrearth)
     e, npts, ncol = cfg.nelemd, cfg.npts, cfg.ncol
+    # the dense block-diagonal operator is (e·16)^2 — a demonstration
+    # variant for miniapp sizes only (5400 elements would need a 30 GB
+    # matrix and crashes the chip)
+    if (e * npts) ** 2 * 4 > 2 * 2**30:
+        raise ValueError(
+            f"fused_operator_bd: dense operator would be "
+            f"{(e * npts) ** 2 * 4 / 2**30:.1f} GiB; use fused_operator"
+        )
 
     @jax.jit
     def step(data: BiharmonicData) -> jnp.ndarray:
