@@ -45,24 +45,30 @@ def _single(f, u, w, rho, rhow, adz, flux, kspan):
 
 
 def _kernel(kspan_ref, f_ref, u_ref, w_ref, rho_ref, rhow_ref, adz_ref,
-            flux_ref, fout_ref, fluxout_ref):
+            flux_ref, fout_ref, fluxout_ref, *, nzm):
+    """Blocks carry the z axis padded to a sublane multiple (Mosaic block
+    shapes must have their last-two dims divisible by (8, 128)); the valid
+    z extent is sliced out here and the core runs on exact sizes."""
+    nz = nzm + 1
     kspan = kspan_ref[...]
     run = jax.vmap(
         functools.partial(_single, kspan=kspan),
         in_axes=-1, out_axes=-1,
     )
     f_out, flux_out = run(
-        f_ref[...], u_ref[...], w_ref[...], rho_ref[...], rhow_ref[...],
-        adz_ref[...], flux_ref[...],
+        f_ref[:, :nzm], u_ref[:, :nzm], w_ref[:, :nz], rho_ref[:nzm],
+        rhow_ref[:nz], adz_ref[:nzm], flux_ref[:nz],
     )
-    fout_ref[...] = f_out
-    fluxout_ref[...] = flux_out
+    fout_ref[:, :nzm] = f_out
+    fluxout_ref[:nz] = flux_out
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def _run_zs(f, u, w, rho, rhow, adz, flux, block, interpret):
-    """Inputs in (x, z, s) / (z, s) layout; s divisible by block."""
-    _, nzm, s = f.shape
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "nzm"))
+def _run_zs(f, u, w, rho, rhow, adz, flux, block, interpret, nzm):
+    """Inputs in (x, zp, s) / (zp, s) layout with z PADDED to a multiple of
+    8 (true extents: f/u/rho/adz nzm, w/rhow/flux nz); s divisible by
+    block."""
+    s = f.shape[-1]
     assert s % block == 0
     kspan_np = np.minimum(nzm - 1, np.arange(nzm) + 1) - np.maximum(
         0, np.arange(nzm) - 1
@@ -73,7 +79,7 @@ def _run_zs(f, u, w, rho, rhow, adz, flux, block, interpret):
     b2 = lambda a: pl.BlockSpec((a.shape[0], block), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, nzm=nzm),
         out_shape=(
             jax.ShapeDtypeStruct(f.shape, f.dtype),
             jax.ShapeDtypeStruct(flux.shape, flux.dtype),
@@ -89,8 +95,13 @@ def _run_zs(f, u, w, rho, rhow, adz, flux, block, interpret):
     )(kspan, f, u, w, rho, rhow, adz, flux)
 
 
-def _to_zs(a):
-    """(s, ..., z) -> (..., z, s): move the slice axis last."""
+def _to_zs(a, zp=None, one_pad=False):
+    """(s, ..., z) -> (..., zp, s): move the slice axis last, padding z to
+    `zp` (ones for divided-by profiles, zeros otherwise)."""
+    if zp is not None and zp != a.shape[-1]:
+        pad = [(0, 0)] * a.ndim
+        pad[-1] = (0, zp - a.shape[-1])
+        a = jnp.pad(a, pad, constant_values=1.0 if one_pad else 0.0)
     return jnp.moveaxis(a, 0, -1)
 
 
@@ -118,12 +129,15 @@ def _step(f, u, w, rho, rhow, adz, flux, block, interpret):
         f, u, w = zpad3(f), zpad3(u), zpad3(w)
         rho, rhow, adz = opad2(rho), opad2(rhow), opad2(adz)
         flux = jnp.pad(flux, ((0, pad), (0, 0)))
+    nzm = f.shape[-1]
+    zp = -(-(nzm + 1) // 8) * 8
     f_out, flux_out = _run_zs(
-        _to_zs(f), _to_zs(u), _to_zs(w), _to_zs(rho), _to_zs(rhow),
-        _to_zs(adz), _to_zs(flux), block, interpret,
+        _to_zs(f, zp), _to_zs(u, zp), _to_zs(w, zp), _to_zs(rho, zp, True),
+        _to_zs(rhow, zp, True), _to_zs(adz, zp, True), _to_zs(flux, zp),
+        block, interpret, nzm,
     )
-    f_out = jnp.moveaxis(f_out, -1, 0)[:s]
-    flux_out = jnp.moveaxis(flux_out, -1, 0)[:s]
+    f_out = jnp.moveaxis(f_out, -1, 0)[:s, :, :nzm]
+    flux_out = jnp.moveaxis(flux_out, -1, 0)[:s, :nzm + 1]
     return f_out, flux_out
 
 
@@ -168,14 +182,18 @@ def _loop(f, u, w, rho, rhow, adz, flux, block, interpret, n):
         f, u, w = zpad3(f), zpad3(u), zpad3(w)
         rho, rhow, adz = opad2(rho), opad2(rhow), opad2(adz)
         flux = jnp.pad(flux, ((0, pad), (0, 0)))
-    uz, wz = _to_zs(u), _to_zs(w)
-    rhoz, rhowz, adzz = _to_zs(rho), _to_zs(rhow), _to_zs(adz)
+    nzm = f.shape[-1]
+    zp = -(-(nzm + 1) // 8) * 8
+    uz, wz = _to_zs(u, zp), _to_zs(w, zp)
+    rhoz, rhowz, adzz = (_to_zs(rho, zp, True), _to_zs(rhow, zp, True),
+                         _to_zs(adz, zp, True))
 
     def body(carry, _):
         fz, fluxz = carry
         return _run_zs(fz, uz, wz, rhoz, rhowz, adzz, fluxz, block,
-                       interpret), None
+                       interpret, nzm), None
 
-    (fz, fluxz), _ = lax.scan(body, (_to_zs(f), _to_zs(flux)), None,
+    (fz, fluxz), _ = lax.scan(body, (_to_zs(f, zp), _to_zs(flux, zp)), None,
                               length=n)
-    return (jnp.moveaxis(fz, -1, 0)[:s], jnp.moveaxis(fluxz, -1, 0)[:s])
+    return (jnp.moveaxis(fz, -1, 0)[:s, :, :nzm],
+            jnp.moveaxis(fluxz, -1, 0)[:s, :nzm + 1])
