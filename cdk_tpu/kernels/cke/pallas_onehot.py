@@ -21,6 +21,14 @@ Per-program VMEM at f32, EB=128, shipped size (ncells=2800, nvert=100):
   2 × (128, 2800) weights ≈ 2.9 MB, tracer+mask (2800, 100) ≈ 2.2 MB,
   in/out edge tiles ≈ 0.2 MB — comfortably resident.
 
+Scaling envelope: the in-kernel one-hot build costs O(nedges · ncells ·
+nadv) VPU compares per ITERATION, independent of the useful gather work
+O(nedges · nadv · nvert). It wins at miniapp cell counts (≤ a few thousand
+cells: measured 0.85–1.5 ms vs 1.7 ms XLA gather at the shipped
+nested.nml size) and loses badly at production ncells=28000 (measured
+143 ms vs 17.8 ms gather) — there the XLA-gather reference variant is the
+right production form, and the registry keeps both honest.
+
 The one-hot build is A (=nAdv) unrolled VPU select-accumulate passes over
 (EB, ncells); the apply is one stacked (2·EB, ncells) @ (ncells, nvert)
 MXU matmul.
