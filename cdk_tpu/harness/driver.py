@@ -88,7 +88,7 @@ def run_kernel(
             step2, aux, vloop = registry._materialize(var, cfg, data)
             out = jax.block_until_ready(step2(aux, data))
         except Exception as e:  # a variant that cannot run at this size
-            say(f" {name:<22s}: ERROR {type(e).__name__}: {str(e)[:120]}")
+            say(f" {name:<22s}: ERROR {type(e).__name__}: {str(e)[:300]}")
             continue
         check = spec.verify(cfg, out, ref_out, loose=var.fast_math)
         # per-step time via fetch-synced two-point slope over device-side

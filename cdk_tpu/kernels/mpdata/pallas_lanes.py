@@ -50,7 +50,7 @@ def _kernel(kspan_ref, f_ref, u_ref, w_ref, rho_ref, rhow_ref, adz_ref,
     shapes must have their last-two dims divisible by (8, 128)); the valid
     z extent is sliced out here and the core runs on exact sizes."""
     nz = nzm + 1
-    kspan = kspan_ref[...]
+    kspan = kspan_ref[:1, :nzm]
     run = jax.vmap(
         functools.partial(_single, kspan=kspan),
         in_axes=-1, out_axes=-1,
@@ -70,10 +70,11 @@ def _run_zs(f, u, w, rho, rhow, adz, flux, block, interpret, nzm):
     block."""
     s = f.shape[-1]
     assert s % block == 0
-    kspan_np = np.minimum(nzm - 1, np.arange(nzm) + 1) - np.maximum(
+    kspan_np = np.ones((8, -(-nzm // 64) * 64))
+    kspan_np[0, :nzm] = np.minimum(nzm - 1, np.arange(nzm) + 1) - np.maximum(
         0, np.arange(nzm) - 1
     )
-    kspan = jnp.asarray(kspan_np, f.dtype)[None, :]
+    kspan = jnp.asarray(kspan_np, f.dtype)  # (8, 64k) tile-aligned
     b3 = lambda a: pl.BlockSpec((a.shape[0], a.shape[1], block),
                                 lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     b2 = lambda a: pl.BlockSpec((a.shape[0], block), lambda i: (0, i),
@@ -86,7 +87,7 @@ def _run_zs(f, u, w, rho, rhow, adz, flux, block, interpret, nzm):
         ),
         grid=(s // block,),
         in_specs=[
-            pl.BlockSpec((1, nzm), lambda i: (0, 0),
+            pl.BlockSpec(kspan.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             b3(f), b3(u), b3(w), b2(rho), b2(rhow), b2(adz), b2(flux),
         ],
