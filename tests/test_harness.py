@@ -1,0 +1,57 @@
+"""Harness driver protocol: init -> reference -> variants -> verify -> time
+on tiny configs (CPU; exercises the step/prepare/loop variant protocols and
+the adaptive slope timer end-to-end)."""
+
+import json
+
+from cdk_tpu.core.config import (
+    BiharmonicConfig,
+    CkeConfig,
+    MpdataConfig,
+    with_overrides,
+)
+from cdk_tpu.harness import driver
+
+
+def test_run_kernel_biharmonic_small():
+    cfg = with_overrides(BiharmonicConfig(), nelemd=2, nlev=4, qsize=2)
+    res = driver.run_kernel("biharmonic", cfg, iters=2, trials=1, quiet=True)
+    names = {r.variant for r in res}
+    assert "reference_jnp" in names and "fused_operator" in names
+    assert all(r.ok for r in res), [(r.variant, r.metrics) for r in res]
+    assert all(r.seconds_per_call > 0 for r in res)
+
+
+def test_run_kernel_mpdata_small():
+    cfg = with_overrides(MpdataConfig(), nslices=2, nx=6, nz=8)
+    res = driver.run_kernel("mpdata", cfg, iters=2, trials=1, quiet=True)
+    assert {r.variant for r in res} >= {"reference_jnp", "pallas_fused",
+                                       "pallas_lanes"}
+    assert all(r.ok for r in res)
+
+
+def test_run_kernel_cke_small_with_prepare():
+    cfg = with_overrides(CkeConfig(), nedges=16, ncells=10, nvertlevels=6,
+                         nadv=3)
+    res = driver.run_kernel("cke", cfg, iters=2, trials=1, quiet=True)
+    assert {r.variant for r in res} >= {"reference_jnp", "onehot_mxu",
+                                       "pallas_onehot"}
+    assert all(r.ok for r in res), [(r.variant, r.metrics) for r in res]
+
+
+def test_json_roundtrip():
+    cfg = with_overrides(BiharmonicConfig(), nelemd=2, nlev=4, qsize=2)
+    res = driver.run_kernel("biharmonic", cfg, iters=2, trials=1, quiet=True)
+    from dataclasses import asdict
+
+    s = driver.to_json({"kernels": {"biharmonic": [asdict(r) for r in res]}})
+    parsed = json.loads(s)
+    assert parsed["kernels"]["biharmonic"][0]["grid_points_per_s"] > 0
+
+
+def test_cli_list(capsys):
+    from cdk_tpu.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "biharmonic" in out and "pallas_fused" in out
