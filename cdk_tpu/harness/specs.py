@@ -41,6 +41,8 @@ class KernelSpec:
 
 
 def _tol(cfg, loose, f64_tol, f32_tol):
+    if cfg.dtype == "bfloat16":
+        return 1.0e-1 if loose else 3.0e-2
     if loose:
         return 1.0e-2
     return f64_tol if cfg.dtype == "float64" else f32_tol

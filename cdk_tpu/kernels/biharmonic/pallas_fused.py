@@ -37,7 +37,8 @@ from cdk_tpu.kernels.biharmonic.problem import (
 )
 
 
-def _kernel(consts_ref, elem_ref, q_ref, out_ref, *, rrearth):
+def _kernel(consts_ref, elem_ref, q_ref, out_ref, *, rrearth,
+            precision="highest"):
     dt = q_ref.dtype
     s = q_ref[0]  # (npts, ncol)
     a1, a2, b1, b2 = (consts_ref[i] for i in range(4))
@@ -50,9 +51,9 @@ def _kernel(consts_ref, elem_ref, q_ref, out_ref, *, rrearth):
     # precision="highest" keeps f32 verification grade (default MXU f32 is
     # bf16 passes, ~1e-3 relative error at these contractions).
     v1 = rrearth * jnp.dot(a1, s, preferred_element_type=dt,
-                           precision="highest")
+                           precision=precision)
     v2 = rrearth * jnp.dot(a2, s, preferred_element_type=dt,
-                           precision="highest")
+                           precision=precision)
     ds1 = d00 * v1 + d10 * v2
     ds2 = d01 * v1 + d11 * v2
     # tensorVisc contraction
@@ -64,8 +65,8 @@ def _kernel(consts_ref, elem_ref, q_ref, out_ref, *, rrearth):
     x = sp * vt1
     y = sp * vt2
     out_ref[0] = -rrearth * (
-        jnp.dot(b1, x, preferred_element_type=dt, precision="highest")
-        + jnp.dot(b2, y, preferred_element_type=dt, precision="highest")
+        jnp.dot(b1, x, preferred_element_type=dt, precision=precision)
+        + jnp.dot(b2, y, preferred_element_type=dt, precision=precision)
     )
 
 
@@ -104,12 +105,13 @@ def stage_matrices_jnp(dvv: jnp.ndarray, eblock: int = 1) -> jnp.ndarray:
     return mats
 
 
-def _run(consts, elem_packed, q_lane, rrearth, interpret):
+def _run(consts, elem_packed, q_lane, rrearth, interpret,
+         precision="highest"):
     """consts (4, P, P), elem_packed (G, 9, P), q_lane (G, P, ncol) with
     P = eblock·npts and G = nelemd//eblock element groups."""
     g, p, ncol = q_lane.shape
     return pl.pallas_call(
-        functools.partial(_kernel, rrearth=rrearth),
+        functools.partial(_kernel, rrearth=rrearth, precision=precision),
         out_shape=jax.ShapeDtypeStruct(q_lane.shape, q_lane.dtype),
         grid=(g,),
         in_specs=[
@@ -145,8 +147,11 @@ def _group(elem_packed, q_lane, b):
     return ep.reshape(g, 9, b * npts), q_lane.reshape(g, b * npts, ncol)
 
 
-@functools.partial(jax.jit, static_argnames=("rrearth", "interpret"))
-def _step(data: BiharmonicData, rrearth: float, interpret: bool) -> jnp.ndarray:
+@functools.partial(
+    jax.jit, static_argnames=("rrearth", "interpret", "precision")
+)
+def _step(data: BiharmonicData, rrearth: float, interpret: bool,
+          precision: str = "highest") -> jnp.ndarray:
     """One fused executable: setup (stage matrices, element packing, layout
     transform) + the Pallas kernel, traced once per shape/dtype."""
     dt = data.qtens.dtype
@@ -157,7 +162,7 @@ def _step(data: BiharmonicData, rrearth: float, interpret: bool) -> jnp.ndarray:
         data.dinv, data.spheremp, data.tensorvisc
     ).astype(dt)
     ep, ql = _group(elem_packed, to_lane_layout(data.qtens), b)
-    out = _run(consts, ep, ql, rrearth, interpret)
+    out = _run(consts, ep, ql, rrearth, interpret, precision)
     return out.reshape(e, -1, out.shape[-1])
 
 
@@ -166,9 +171,11 @@ def biharmonic_pallas(data: BiharmonicData, rrearth: float) -> jnp.ndarray:
     return _step(data, float(rrearth), pallas_interpret())
 
 
-@functools.partial(jax.jit, static_argnames=("rrearth", "interpret", "n"))
+@functools.partial(
+    jax.jit, static_argnames=("rrearth", "interpret", "n", "precision")
+)
 def _loop(data: BiharmonicData, rrearth: float, interpret: bool,
-          n: int) -> jnp.ndarray:
+          n: int, precision: str = "highest") -> jnp.ndarray:
     """n chained Pallas applications with qtens resident in grouped lane
     layout."""
     import jax.lax as lax
@@ -183,7 +190,7 @@ def _loop(data: BiharmonicData, rrearth: float, interpret: bool,
     ep, ql = _group(elem_packed, to_lane_layout(data.qtens), b)
 
     def body(q, _):
-        return _run(consts, ep, q, rrearth, interpret), None
+        return _run(consts, ep, q, rrearth, interpret, precision), None
 
     out, _ = lax.scan(body, ql, None, length=n)
     return out.reshape(e, -1, out.shape[-1])
@@ -198,14 +205,32 @@ def _loop(data: BiharmonicData, rrearth: float, interpret: bool,
     supports_f64=False,
 )
 def make_pallas_fused(cfg):
+    return _make_pallas(cfg, "highest")
+
+
+def _make_pallas(cfg, precision):
     rr = float(cfg.rrearth)
     interpret = pallas_interpret()
 
     @jax.jit
     def step(data: BiharmonicData) -> jnp.ndarray:
-        return from_lane_layout(_step(data, rr, interpret), cfg)
+        return from_lane_layout(_step(data, rr, interpret, precision), cfg)
 
     def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
-        return from_lane_layout(_loop(data, rr, interpret, n), cfg)
+        return from_lane_layout(_loop(data, rr, interpret, n, precision),
+                                cfg)
 
     return {"step": step, "loop": loop}
+
+
+@register(
+    "biharmonic",
+    "pallas_fused_bf16",
+    "fused Pallas kernel with single-pass bf16 MXU stage matmuls: at "
+    "8-element blocks the (128, 128) block-diagonal dots hit full systolic "
+    "tiles (speed point)",
+    supports_f64=False,
+    fast_math=True,
+)
+def make_pallas_fused_bf16(cfg):
+    return _make_pallas(cfg, "default")
