@@ -107,15 +107,11 @@ def _to_zs(a, zp=None, one_pad=False):
 
 
 def _lane_block(nslices: int, nx: int, nzm: int, itemsize: int) -> int:
-    """Slice-lane block: 128 when the working set fits, else halved."""
-    per_slice = 14 * (nx + 6) * (-(-nzm // 8) * 8) * itemsize
-    cap = max(1, int(16 * 2**20 * 0.55) // per_slice)
-    b = 128
-    while b > cap or nslices % b:
-        b //= 2
-        if b == 0:
-            return 1
-    return b
+    """Slice-lane block: Mosaic requires the lane (last) block dim to be a
+    multiple of 128, so the block is always 128 and the slice batch is
+    padded up to a multiple of it (_step/_loop pad; sub-128 batches waste
+    lanes — this variant targets production slice counts)."""
+    return 128
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
