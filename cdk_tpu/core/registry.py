@@ -24,6 +24,7 @@ class Variant:
     requires_tpu: bool = False
     supports_f64: bool = True
     fast_math: bool = False  # intentionally-lower-precision variant
+    experimental: bool = False  # skipped by default sweeps
 
 
 def register(
@@ -33,11 +34,12 @@ def register(
     requires_tpu: bool = False,
     supports_f64: bool = True,
     fast_math: bool = False,
+    experimental: bool = False,
 ):
     def deco(fn):
         _REGISTRY.setdefault(kernel, {})[name] = Variant(
             kernel, name, fn, description, requires_tpu, supports_f64,
-            fast_math
+            fast_math, experimental
         )
         return fn
 

@@ -84,6 +84,9 @@ def run_kernel(
         if cfg.dtype == "float64" and not var.supports_f64:
             say(f" {name:<22s}: skipped (no f64 support)")
             continue
+        if var.experimental and variants is None:
+            say(f" {name:<22s}: skipped (experimental; request explicitly)")
+            continue
         try:
             step2, aux, vloop = registry._materialize(var, cfg, data)
             out = jax.block_until_ready(step2(aux, data))

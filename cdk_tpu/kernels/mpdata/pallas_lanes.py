@@ -16,8 +16,15 @@ The staged math is STILL reference.advect_scalar2d — applied per-slice via
 every op to the (x, z, s) layout with zero semantic divergence from the
 trusted core.
 
-Slice blocks of 128 at f32: ~12 live (38, 64, 128) buffers ≈ 15 MB — at the
-VMEM edge, so the slice block is halved automatically when needed."""
+STATUS: design study, `experimental=True`. Mosaic requires the lane block
+to be a full 128, and at (38, 64, 128) f32 the fully-fused staged core
+carries ~25 live intermediates ≈ 30 MB — past VMEM, and the remote Mosaic
+compile aborts. Making this layout work needs either a 2-3 way split of the
+stage chain (re-introducing HBM round-trips) or z-blocking with vertical
+halos; both trade away the single-kernel fusion that motivates the variant.
+The kernel is correct (validated in interpreter mode / CPU tests) and kept
+as the starting point for that follow-up. The practical production layouts
+today are pallas_fused (z-on-lanes) and the XLA reference."""
 
 from __future__ import annotations
 
@@ -143,7 +150,9 @@ def _step(f, u, w, rho, rhow, adz, flux, block, interpret):
     "pallas_lanes",
     "fused Pallas kernel with the slice batch on VPU lanes ((x, z, s) "
     "layout, 128-slice blocks): full lane occupancy for large batched-CRM "
-    "slice counts; same staged core via vmap over the trailing axis",
+    "slice counts; same staged core via vmap over the trailing axis "
+    "(design study: exceeds VMEM on TPU, see module docstring)",
+    experimental=True,
 )
 def make_pallas_lanes(cfg):
     interpret = pallas_interpret()
