@@ -25,8 +25,9 @@ def test_run_kernel_biharmonic_small():
 def test_run_kernel_mpdata_small():
     cfg = with_overrides(MpdataConfig(), nslices=2, nx=6, nz=8)
     res = driver.run_kernel("mpdata", cfg, iters=2, trials=1, quiet=True)
-    assert {r.variant for r in res} >= {"reference_jnp", "pallas_fused",
-                                       "pallas_lanes"}
+    assert {r.variant for r in res} >= {"reference_jnp", "pallas_fused"}
+    # experimental variants are excluded from default sweeps
+    assert "pallas_lanes" not in {r.variant for r in res}
     assert all(r.ok for r in res)
 
 
