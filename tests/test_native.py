@@ -68,3 +68,17 @@ def test_mpdata_cpp_oracle():
     f_cpp, flux_cpp = native.mpdata_ref(data)
     assert rel_l1(f_cpp, np.asarray(f_ref)) < 1e-14
     assert rel_l1(flux_cpp, np.asarray(flux_ref)) < 1e-14
+
+
+def test_native_bench_driver_runs():
+    """The standalone C++ driver (Fortran-program analog) builds and runs."""
+    import subprocess
+    from pathlib import Path
+
+    cpp = Path(__file__).resolve().parents[1] / "cpp"
+    subprocess.run(["make", "-C", str(cpp), "bench"], check=True,
+                   capture_output=True)
+    r = subprocess.run([str(cpp / "cdk_bench"), "all", "2"],
+                       capture_output=True, text=True, check=True)
+    assert "biharmonic CPU(C++) Timing" in r.stdout
+    assert "cke" in r.stdout and "mpdata" in r.stdout
