@@ -37,12 +37,17 @@ def main() -> int:
         def make(n):
             @jax.jit
             def run(t, cells, c1):
-                def body(tr, _):
+                def body(carry, _):
+                    tr, _ = carry
                     out = one_iter(tr, cells, c1)
-                    return tr * 1.0, out
+                    # carry the output (stacking n copies would add n x
+                    # 10 MB of writes to the measurement)
+                    return (tr * 1.0, out), None
 
-                _, outs = lax.scan(body, t, None, length=n)
-                return outs
+                (_, out), _ = lax.scan(
+                    body, (t, jnp.zeros((e, kv), t.dtype)), None, length=n
+                )
+                return out
 
             return lambda d: run(t, cells, c1)
 
