@@ -40,9 +40,11 @@ def main() -> int:
                 def body(carry, _):
                     tr, _ = carry
                     out = one_iter(tr, cells, c1)
-                    # carry the output (stacking n copies would add n x
-                    # 10 MB of writes to the measurement)
-                    return (tr * 1.0, out), None
+                    # carry the output, and feed a vanishing function of it
+                    # back into the tracer so XLA cannot hoist the body out
+                    # of the loop
+                    tr_next = tr + out[0:1, 0:1] * 1e-30
+                    return (tr_next, out), None
 
                 (_, out), _ = lax.scan(
                     body, (t, jnp.zeros((e, kv), t.dtype)), None, length=n
