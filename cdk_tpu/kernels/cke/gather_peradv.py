@@ -1,0 +1,57 @@
+"""Per-adv-column gather CKE variant: the fastest exact-arithmetic form.
+
+Measured on TPU v5e (scripts/cke_gather_experiments.py, shipped nested.nml
+size): one XLA gather per contributing-cell slot — `nAdv` gathers of
+(nedges,) rows each — runs 2.2× faster than the single (nedges, nadv) row
+gather of the reference formulation (620 µs vs 1367 µs per iteration), and
+1.7× faster than the f32-exact one-hot matmul (1072 µs).  XLA emits a
+better gather schedule when the index vector is 1-D and the gathered block
+is revisited immediately (the weighted accumulate fuses into the gather
+consumer), and unlike the one-hot forms the cost scales with
+nedges·nadv·nvert — this is also the production-scale winner.
+
+Exact same arithmetic as the reference per (edge, i) term; sums accumulate
+in slot order i = 0..nadv-1 like the Fortran inner loop
+(nested.F90:533-552), so f64 parity holds at errTol."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cdk_tpu.core.registry import register
+from cdk_tpu.kernels.cke.problem import CkeData
+from cdk_tpu.kernels.cke.reference import fsign1
+
+
+def edge_flux_peradv(adv_cells, adv_coefs, adv_coefs3, tracer, cell_mask,
+                     ntf, adv_mask, coef3rdorder):
+    t = tracer * cell_mask
+    e, a = adv_cells.shape
+    s1 = jnp.zeros(ntf.shape, t.dtype)
+    s3 = jnp.zeros(ntf.shape, t.dtype)
+    for i in range(a):  # static unroll over contributing-cell slots
+        g = jnp.take(t, adv_cells[:, i], axis=0)  # (nedges, nvert)
+        s1 = s1 + adv_coefs[:, i:i + 1] * g
+        s3 = s3 + adv_coefs3[:, i:i + 1] * g
+    return ntf * adv_mask * (s1 + coef3rdorder * s3 * fsign1(ntf))
+
+
+@register(
+    "cke",
+    "gather_peradv",
+    "per-adv-slot column gathers (nAdv 1-D-indexed XLA gathers, weighted "
+    "accumulate fused): 2.2x the reference gather's throughput with exact "
+    "arithmetic; scales to production sizes",
+)
+def make_gather_peradv(cfg):
+    c3 = cfg.np_dtype(cfg.coef3rdorder)
+
+    @jax.jit
+    def step(data: CkeData) -> jnp.ndarray:
+        return edge_flux_peradv(
+            data.adv_cells, data.adv_coefs, data.adv_coefs3, data.tracer,
+            data.cell_mask, data.ntf, data.adv_mask, c3,
+        )
+
+    return step

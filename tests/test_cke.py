@@ -153,3 +153,11 @@ def test_pallas_onehot_cell_blocking():
     )
     n_bad, max_err, _ = pointwise_check(out, ref, cfg.errtol)
     assert n_bad == 0, f"max_err={max_err}"
+
+
+def test_gather_peradv_matches_oracle(small_data, small_oracle):
+    from cdk_tpu.kernels.cke import gather_peradv
+
+    out = np.asarray(gather_peradv.make_gather_peradv(SMALL)(small_data))
+    n_bad, max_err, lines = pointwise_check(out, small_oracle, SMALL.errtol)
+    assert n_bad == 0, "\n".join(lines)
