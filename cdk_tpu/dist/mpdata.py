@@ -381,3 +381,29 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO):
         return f_out, flux_out
 
     return step
+
+
+def make_dist_loop(cfg, mesh: Mesh, halo: int = HALO, overlap: bool = False):
+    """n-step distributed integration under ONE jit: `lax.scan` over the
+    halo-exchange step, so the whole multi-step run (exchanges included)
+    compiles to a single device-side loop — the production integration
+    driver shape (one dispatch per run, not per step)."""
+    if overlap:
+        step = make_dist_step_overlap(cfg, mesh, halo)
+    else:
+        _, step, _ = make_dist_step(cfg, mesh, halo)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(f_s, u_s, w_s, aux, n: int):
+        def body(carry, _):
+            f, flux = carry
+            rho, rhow, adz, _ = aux
+            f2, flux2 = step(f, u_s, w_s, (rho, rhow, adz, flux))
+            return (f2, flux2), None
+
+        (f_out, flux_out), _ = jax.lax.scan(
+            body, (f_s, aux[3]), None, length=n
+        )
+        return f_out, flux_out
+
+    return loop

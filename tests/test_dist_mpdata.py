@@ -102,3 +102,21 @@ def test_overlap_multistep_matches_reference():
                                flux_ref)
         f_s, _ = step_ov(f_s, u_s, w_s, aux)
     assert rel_l1(gather_f(f_s), np.asarray(f_ref)) < 1e-13
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_dist_loop_scan_matches_chained(overlap):
+    """One-jit scan over the shard_mapped step == per-dispatch chaining."""
+    cfg = with_overrides(MpdataConfig(), nx=64, nslices=4, nz=12)
+    data = problem.init_data(cfg)
+    m = meshmod.make_mesh(4)
+    shard_inputs, step, gather_f = dist_mpdata.make_dist_step(cfg, m)
+    loop = dist_mpdata.make_dist_loop(cfg, m, overlap=overlap)
+    f_s, u_s, w_s, aux = shard_inputs(data)
+    f_l, flux_l = loop(f_s, u_s, w_s, aux, 3)
+    f_c, flux_c = f_s, aux[3]
+    rho, rhow, adz, _ = aux
+    for _ in range(3):
+        f_c, flux_c = step(f_c, u_s, w_s, (rho, rhow, adz, flux_c))
+    assert rel_l1(gather_f(f_l), gather_f(f_c)) < 1e-15
+    assert rel_l1(np.asarray(flux_l), np.asarray(flux_c)) < 1e-15
