@@ -47,7 +47,7 @@ def main() -> int:
     for kernel, spec in all_specs().items():
         cfg = with_overrides(spec.default_config(), dtype="float32")
         try:
-            results = driver.run_kernel(kernel, cfg, iters=100, trials=3,
+            results = driver.run_kernel(kernel, cfg, iters=100, trials=5,
                                         quiet=True)
         except Exception as e:  # one kernel failing must not zero the bench
             err(f"[bench] {kernel}: ERROR {type(e).__name__}: {e}")
