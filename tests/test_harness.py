@@ -56,3 +56,15 @@ def test_cli_list(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "biharmonic" in out and "pallas_fused" in out
+
+
+def test_profile_cost_analysis():
+    import jax.numpy as jnp
+
+    from cdk_tpu.harness import profile
+
+    ca = profile.cost_analysis(lambda x: (x @ x).sum(),
+                               jnp.ones((64, 64), jnp.float32))
+    assert isinstance(ca, dict)
+    stats = profile.device_memory_stats()
+    assert isinstance(stats, dict)
