@@ -37,6 +37,12 @@ def main(argv=None) -> int:
 
     sub.add_parser("list", help="list kernels and registered variants")
 
+    sub.add_parser(
+        "verify",
+        help="run the full verification battery (pytest: oracles, parity, "
+        "decomposition, transforms, native) on the virtual CPU mesh",
+    )
+
     runp = sub.add_parser("run", help="run a kernel benchmark + verification")
     runp.add_argument("kernel", choices=["biharmonic", "mpdata", "cke", "all"])
     runp.add_argument("--dtype", default=None,
@@ -63,6 +69,18 @@ def main(argv=None) -> int:
     scalep.add_argument("--no-overlap", action="store_true")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "verify":
+        import os
+        import subprocess
+        from pathlib import Path
+
+        root = Path(__file__).resolve().parents[1]
+        env = dict(os.environ)
+        return subprocess.run(
+            [sys.executable, "-m", "pytest", str(root / "tests"), "-q"],
+            env=env, cwd=root,
+        ).returncode
 
     from cdk_tpu.core.platform import enable_compilation_cache
 
