@@ -68,3 +68,38 @@ def test_profile_cost_analysis():
     assert isinstance(ca, dict)
     stats = profile.device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_cli_run_cke_with_overrides(capsys):
+    from cdk_tpu.cli import main
+
+    rc = main([
+        "run", "cke", "--set", "nedges=16", "--set", "ncells=10",
+        "--set", "nvertlevels=6", "--set", "nadv=3", "--iters", "2",
+        "--trials", "1", "--variant", "reference_jnp",
+        "--variant", "gather_peradv",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "gather_peradv" in out
+
+
+def test_bf16_all_kernels_smoke():
+    """bfloat16 dtype end-to-end on every kernel (reference vs one variant
+    at the bf16 verification tier)."""
+    from cdk_tpu.core.config import with_overrides
+
+    for kernel, cfg, variants in [
+        ("biharmonic",
+         with_overrides(BiharmonicConfig(), nelemd=2, nlev=4, qsize=2,
+                        dtype="bfloat16"),
+         ["reference_jnp", "fused_operator_bf16"]),
+        ("cke",
+         with_overrides(CkeConfig(), nedges=16, ncells=10, nvertlevels=6,
+                        nadv=3, dtype="bfloat16"),
+         ["reference_jnp", "gather_peradv"]),
+    ]:
+        res = driver.run_kernel(kernel, cfg, variants=variants, iters=2,
+                                trials=1, quiet=True)
+        assert res and all(r.ok for r in res), (
+            kernel, [(r.variant, r.metrics) for r in res])
