@@ -25,7 +25,7 @@ trade-off).
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ def main() -> int:
     from jax import lax
 
     from cdk_tpu.core.config import CkeConfig
-    from cdk_tpu.core.timer import fetch_sync, slope_time
+    from cdk_tpu.core.timer import slope_time
     from cdk_tpu.kernels.cke import problem
 
     cfg = CkeConfig(dtype="float32")
