@@ -60,6 +60,20 @@ def main(argv=None) -> int:
     runp.add_argument("--device-init", action="store_true",
                       help="generate inputs on device (jax.random)")
 
+    intp = sub.add_parser(
+        "integrate",
+        help="run an N-step integration of a kernel with a chosen variant "
+        "and save the final state (npz)",
+    )
+    intp.add_argument("kernel", choices=["biharmonic", "mpdata", "cke"])
+    intp.add_argument("--steps", type=int, default=100)
+    intp.add_argument("--variant", default="reference_jnp")
+    intp.add_argument("--dtype", default="float32",
+                      choices=["float32", "float64", "bfloat16"])
+    intp.add_argument("--out", default=None, help="output .npz path")
+    intp.add_argument("--set", dest="sets", action="append", default=None,
+                      metavar="key=value")
+
     scalep = sub.add_parser(
         "scaling", help="weak-scaling sweep of the dist mpdata step"
     )
@@ -93,6 +107,39 @@ def main(argv=None) -> int:
             print(f"{kernel}:")
             for name, var in registry.variants(kernel).items():
                 print(f"  {name:<22s} {var.description}")
+        return 0
+
+    if args.cmd == "integrate":
+        import numpy as np
+
+        from cdk_tpu.core import registry as reg
+        from cdk_tpu.core.config import with_overrides
+        from cdk_tpu.core.timer import fetch_sync
+        from cdk_tpu.harness.specs import get_spec
+
+        spec = get_spec(args.kernel)
+        overrides = _parse_set(args.sets)
+        overrides["dtype"] = args.dtype
+        cfg = with_overrides(spec.default_config(), **overrides)
+        data = spec.init(cfg)
+        var = reg.get(args.kernel, args.variant)
+        step2, aux, vloop = reg._materialize(var, cfg, data)
+        if vloop is not None:
+            out = vloop(data, args.steps)
+        else:
+            out = spec.scan_runner(step2, aux, args.steps)(data)
+        fetch_sync(out)
+        leaves = {
+            f"out{i}": np.asarray(leaf)
+            for i, leaf in enumerate(
+                out if isinstance(out, tuple) else (out,))
+        }
+        for name, arr in leaves.items():
+            print(f" {args.kernel}/{args.variant} x{args.steps}: {name} "
+                  f"shape={arr.shape} |x|max={np.abs(arr).max():.6e}")
+        if args.out:
+            np.savez(args.out, **leaves)
+            print(f"wrote {args.out}")
         return 0
 
     if args.cmd == "scaling":

@@ -103,3 +103,19 @@ def test_bf16_all_kernels_smoke():
                                 trials=1, quiet=True)
         assert res and all(r.ok for r in res), (
             kernel, [(r.variant, r.metrics) for r in res])
+
+
+def test_cli_integrate(tmp_path, capsys):
+    from cdk_tpu.cli import main
+
+    out = tmp_path / "state.npz"
+    rc = main([
+        "integrate", "mpdata", "--steps", "3", "--variant", "reference_jnp",
+        "--set", "nslices=2", "--set", "nx=6", "--set", "nz=8",
+        "--out", str(out),
+    ])
+    assert rc == 0 and out.exists()
+    import numpy as np
+
+    z = np.load(out)
+    assert z["out0"].shape == (2, 12, 7)
