@@ -205,7 +205,9 @@ def _loop(data: BiharmonicData, rrearth: float, interpret: bool,
     supports_f64=False,
 )
 def make_pallas_fused(cfg):
-    return _make_pallas(cfg, "highest")
+    # "high" = bf16x3: measured 8.6e-6 relative L2 at the shipped size,
+    # inside the 5e-5 f32 gate at half the cost of "highest"
+    return _make_pallas(cfg, "high")
 
 
 def _make_pallas(cfg, precision):
