@@ -109,7 +109,7 @@ def fetch_sync(out) -> float:
 
 
 def slope_time(make_runner, data, n1: int = 50, n2: int = 400,
-               trials: int = 5, min_delta: float = 2e-3,
+               trials: int = 5, min_delta: float = 5e-3,
                max_n: int = 51200) -> float:
     """Best-of per-step seconds via two-point slope: time an n1-step and an
     n2-step device-side loop (each fetch-synced) and return

@@ -205,9 +205,11 @@ def _loop(data: BiharmonicData, rrearth: float, interpret: bool,
     supports_f64=False,
 )
 def make_pallas_fused(cfg):
-    # "high" = bf16x3: measured 8.6e-6 relative L2 at the shipped size,
-    # inside the 5e-5 f32 gate at half the cost of "highest"
-    return _make_pallas(cfg, "high")
+    # Mosaic supports only DEFAULT/HIGHEST dot precision in kernels
+    # ("Unsupported dot precision: HIGH"), so the Pallas path keeps
+    # "highest"; the XLA fused_operator path uses the cheaper bf16x3
+    # "high" (see operator.apply_operator).
+    return _make_pallas(cfg, "highest")
 
 
 def _make_pallas(cfg, precision):
