@@ -22,8 +22,27 @@ over device-side scan loops (see cdk_tpu/core/timer.py)."""
 
 from __future__ import annotations
 
+import contextlib
 import json
+import signal
 import sys
+
+
+@contextlib.contextmanager
+def _deadline(seconds: int):
+    """Best-effort per-kernel timeout: the remote-dispatch tunnel can stall
+    for minutes; one stuck kernel must not zero the whole benchmark."""
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"kernel exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 BASELINES_PTS_S = {
     "biharmonic": 737_280 / 1.033e-3,   # ≈ 716 M pts/s (K20X compute)
@@ -47,8 +66,9 @@ def main() -> int:
     for kernel, spec in all_specs().items():
         cfg = with_overrides(spec.default_config(), dtype="float32")
         try:
-            results = driver.run_kernel(kernel, cfg, iters=100, trials=5,
-                                        quiet=True)
+            with _deadline(900):
+                results = driver.run_kernel(kernel, cfg, iters=100,
+                                            trials=5, quiet=True)
         except Exception as e:  # one kernel failing must not zero the bench
             err(f"[bench] {kernel}: ERROR {type(e).__name__}: {e}")
             continue
