@@ -129,9 +129,21 @@ def slope_time(make_runner, data, n1: int = 50, n2: int = 400,
             best = min(best, time.perf_counter() - t0)
         return best
 
+    slopes = []
     while True:
         delta = best_of(n2) - best_of(n1)
-        if delta >= min_delta or n2 >= max_n:
-            return max(delta, 1e-12) / (n2 - n1)
-        n1 *= 4
-        n2 *= 4
+        if delta >= min_delta:
+            slopes.append(delta / (n2 - n1))
+            if len(slopes) >= 2 or n2 * 2 > max_n:
+                # min over scales: per-step time cannot be lower than the
+                # true cost, and each scale's measurement only errs upward
+                # (noise adds to the longer run more often than it
+                # subtracts)
+                return min(slopes)
+            n1 *= 2
+            n2 *= 2
+        elif n2 >= max_n:
+            return max(delta, 1e-12) / (n2 - n1) if not slopes                 else min(slopes)
+        else:
+            n1 *= 4
+            n2 *= 4
