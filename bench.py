@@ -22,11 +22,27 @@ over device-side scan loops (see cdk_tpu/core/timer.py)."""
 
 from __future__ import annotations
 
+import contextlib
 import json
-import subprocess
+import signal
 import sys
-import tempfile
-from pathlib import Path
+
+
+@contextlib.contextmanager
+def _deadline(seconds: int):
+    """Best-effort per-kernel timeout: the remote-dispatch tunnel can stall
+    for minutes; one stuck kernel must not zero the whole benchmark."""
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"kernel exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 BASELINES_PTS_S = {
     "biharmonic": 737_280 / 1.033e-3,   # ≈ 716 M pts/s (K20X compute)
@@ -34,47 +50,40 @@ BASELINES_PTS_S = {
 }
 
 
-def _run_kernel_isolated(kernel: str, timeout_s: int = 1200):
-    """Measure one kernel in a FRESH subprocess via the CLI: isolates
-    per-kernel device state (in-process, kernels measured after others run
-    up to 2x slower — allocator/cache interference), and a hung tunnel is
-    simply killed by the subprocess timeout."""
-    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fh:
-        out_path = fh.name
-    cmd = [sys.executable, "-m", "cdk_tpu", "run", kernel,
-           "--dtype", "float32", "--iters", "100", "--trials", "5",
-           "--json", out_path]
-    try:
-        subprocess.run(cmd, check=True, timeout=timeout_s,
-                       capture_output=True, cwd=Path(__file__).parent)
-        with open(out_path) as fh:
-            data = json.load(fh)
-        return data["kernels"][kernel]
-    finally:
-        Path(out_path).unlink(missing_ok=True)
-
-
 def main() -> int:
+    from cdk_tpu.core.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+    import cdk_tpu.kernels  # noqa: F401
+    from cdk_tpu.core.config import with_overrides
+    from cdk_tpu.harness import driver
+    from cdk_tpu.harness.specs import all_specs
+
     err = lambda *a: print(*a, file=sys.stderr, flush=True)
 
     speedups = []
-    for kernel in ("biharmonic", "mpdata", "cke"):
+    detail = {}
+    for kernel, spec in all_specs().items():
+        cfg = with_overrides(spec.default_config(), dtype="float32")
         try:
-            results = _run_kernel_isolated(kernel)
+            with _deadline(900):
+                results = driver.run_kernel(kernel, cfg, iters=100,
+                                            trials=5, quiet=True)
         except Exception as e:  # one kernel failing must not zero the bench
             err(f"[bench] {kernel}: ERROR {type(e).__name__}: {e}")
             continue
-        ok = [r for r in results if r["ok"]]
+        ok = [r for r in results if r.ok]
         if not ok:
             err(f"[bench] {kernel}: NO PASSING VARIANT")
             continue
-        best = max(ok, key=lambda r: r["grid_points_per_s"])
+        best = max(ok, key=lambda r: r.grid_points_per_s)
+        detail[kernel] = best
         base = BASELINES_PTS_S.get(kernel)
-        ratio = best["grid_points_per_s"] / base if base else None
+        ratio = best.grid_points_per_s / base if base else None
         err(
-            f"[bench] {kernel:<11s} best={best['variant']:<18s} "
-            f"{best['seconds_per_call'] * 1e6:9.2f} us/step "
-            f"{best['grid_points_per_s'] / 1e6:10.1f} M pts/s"
+            f"[bench] {kernel:<11s} best={best.variant:<18s} "
+            f"{best.seconds_per_call * 1e6:9.2f} us/step "
+            f"{best.grid_points_per_s / 1e6:10.1f} M pts/s"
             + (f"  {ratio:8.1f}x vs K20X" if ratio else "  (no baseline)")
         )
         if ratio:
