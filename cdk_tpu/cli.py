@@ -7,7 +7,12 @@ nested_loops/README.md:14) with one CLI:
   python -m cdk_tpu list
   python -m cdk_tpu run biharmonic|mpdata|cke|all [--dtype float32]
          [--iters N] [--trials N] [--variant NAME ...] [--json out.json]
-         [--set key=value ...] [--namelist nested.nml]
+         [--set key=value ...] [--namelist nested.nml] [--preset production]
+         [--device-init]
+  python -m cdk_tpu integrate mpdata --steps N --variant pallas_fused
+         [--out state.npz]
+  python -m cdk_tpu scaling --devices 1,2,4,8 --nx-per-device 512
+  python -m cdk_tpu verify
 """
 
 from __future__ import annotations
@@ -46,7 +51,7 @@ def main(argv=None) -> int:
     runp = sub.add_parser("run", help="run a kernel benchmark + verification")
     runp.add_argument("kernel", choices=["biharmonic", "mpdata", "cke", "all"])
     runp.add_argument("--dtype", default=None,
-                      choices=["float32", "float64"])
+                      choices=["float32", "float64", "bfloat16"])
     runp.add_argument("--iters", type=int, default=10)
     runp.add_argument("--trials", type=int, default=3)
     runp.add_argument("--variant", action="append", default=None)
