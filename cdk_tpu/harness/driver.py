@@ -102,8 +102,13 @@ def run_kernel(
             make_runner = lambda n: (lambda d: vloop(d, n))
         else:
             make_runner = lambda n: spec.scan_runner(step2, aux, n)
-        sec = slope_time(make_runner, data, n1=iters, n2=8 * iters,
-                         trials=trials)
+        try:
+            sec = slope_time(make_runner, data, n1=iters, n2=8 * iters,
+                             trials=trials)
+        except Exception as e:  # timing failure should not drop the verify
+            say(f" {name:<22s}: verified ok; timing ERROR "
+                f"{type(e).__name__}: {str(e)[:200]}")
+            continue
         res = VariantResult(
             kernel, name, check.ok, sec, gp / sec, check.metrics
         )
