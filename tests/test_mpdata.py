@@ -13,9 +13,11 @@ from cdk_tpu.kernels.mpdata import problem, reference
 SMALL = with_overrides(MpdataConfig(), nslices=3, nx=6, nz=9)
 
 
-def oracle_advect(f, u, w, rho, rhow, adz, flux_in):
+def oracle_advect(f, u, w, rho, rhow, adz, flux_in, bounds=None):
     """Scalar-loop MPDATA step, Fortran index conventions: f(i=-2..nx+3),
-    u(i=-1..nx+3), w(i=-1..nx+2, k=1..nz), all k=1..nzm unless noted."""
+    u(i=-1..nx+3), w(i=-1..nx+2, k=1..nz), all k=1..nzm unless noted.
+    If `bounds` is a pair of arrays shaped like mx/mn, the final FCT
+    extrema are copied into it before stage 5b overwrites them."""
     s, fx, nzm = f.shape
     nx, nz = fx - 6, nzm + 1
     eps = 1.0e-10
@@ -100,6 +102,11 @@ def oracle_advect(f, u, w, rho, rhow, adz, flux_in):
                         F(sl, i, kc), F(sl, i, k)]
                 mx[sl, i, k - 1] = max(mx[sl, i, k - 1], max(vals))
                 mn[sl, i, k - 1] = min(mn[sl, i, k - 1], min(vals))
+        # snapshot the extrema bounds before they are overwritten by the
+        # in/out ratios (used by the FCT-property test)
+        if bounds is not None:
+            bounds[0][sl] = mx[sl].copy()
+            bounds[1][sl] = mn[sl].copy()
         # stage 5b: ratios
         for k in range(1, nzm + 1):
             kc = min(nzm, k + 1)
@@ -240,3 +247,31 @@ def test_pallas_lanes_loop_and_fullsize():
     f_l, flux_l = made["loop"](data, 2)
     assert rel_l1(np.asarray(f_l), np.asarray(f2)) < 1e-13
     assert rel_l1(np.asarray(flux_l), np.asarray(flux2)) < 1e-13
+
+
+
+def test_fct_limiter_non_oscillatory():
+    """The non-oscillatory limiter's contract (advect…F90:588-628): the
+    corrected interior solution stays within the local extrema bounds
+    mx/mn accumulated from the input and upwind fields."""
+    cfg = with_overrides(MpdataConfig(), nslices=4, nx=10, nz=12, seed=7)
+    data = problem.init_data(cfg)
+    args = [np.asarray(a, np.float64) for a in (
+        data.f, data.u, data.w, data.rho, data.rhow, data.adz, data.flux)]
+    s_, nx = cfg.nslices, cfg.nx
+    mx_snap = np.zeros((s_, nx + 2, cfg.nzm))
+    mn_snap = np.zeros((s_, nx + 2, cfg.nzm))
+    f_ref, _ = oracle_advect(*args, bounds=(mx_snap, mn_snap))
+    # interior i=1..nx maps to mx/mn index i and f python ix=i+2
+    f_int = f_ref[:, 3:nx + 3]
+    mx_int = mx_snap[:, 1:nx + 1]
+    mn_int = mn_snap[:, 1:nx + 1]
+    eps = 1e-9 * np.abs(mx_int).max()
+    assert (f_int <= mx_int + eps).all(), "limiter exceeded upper bound"
+    assert (f_int >= np.minimum(mn_int, 0.0) - eps).all(), \
+        "limiter exceeded lower bound"
+    # and the jnp reference's output obeys the same bounds
+    f_jnp, _ = reference.make_reference(cfg)(data)
+    f_jnp_int = np.asarray(f_jnp)[:, 3:nx + 3]
+    assert (f_jnp_int <= mx_int + eps).all()
+    assert (f_jnp_int >= np.minimum(mn_int, 0.0) - eps).all()
