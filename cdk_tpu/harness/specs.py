@@ -33,11 +33,13 @@ class KernelSpec:
     verify: Callable[[Any, Any, Any], CheckResult]  # (cfg, out, ref_out)
     grid_points: Callable[[Any], int]
     flops_per_point: int  # rough, for reporting
-    # (step, n) -> fn(data) running n steps device-side under one dispatch
-    # (the TPU answer to the reference's `do n=1,nIters` loops,
-    # nested.F90:191-199: per-dispatch tunnel latency would otherwise
-    # swamp microsecond kernels)
-    scan_runner: Callable[[Any, int], Callable] = None
+    # (step2, aux, n) -> fn(data) running n steps device-side under one
+    # dispatch (the TPU answer to the reference's `do n=1,nIters` loops,
+    # nested.F90:191-199: per-dispatch tunnel latency would otherwise swamp
+    # microsecond kernels). step2(aux, data) is the canonical variant call
+    # form; aux is threaded as a jit argument, never closure-captured (see
+    # registry._materialize).
+    scan_runner: Callable[..., Callable] = None
 
 
 def _tol(cfg, loose, f64_tol, f32_tol):
