@@ -13,10 +13,11 @@ per-element 2×2 metric contractions are VPU elementwise ops broadcast from
 Grid: one program per BLOCK of elements. The np-point stage matrices are
 element-independent, so a block of B elements contracts as ONE
 (B·16, B·16) block-diagonal constant matrix (kron(I_B, A)) against the
-(B·16, ncol) stacked element states — at B=8 that is a full 128-wide MXU
-tile instead of a 16-row sliver (8× systolic utilization). Per-program VMEM
-at f32, B=8: ~6 live (128, 2880) buffers ≈ 9 MB — on-chip; HBM traffic is
-the speed-of-light 2 × qtens bytes.
+(B·16, ncol) stacked element states. B is chosen empirically per precision
+(see _eblock): block-diag MACs scale ∝ B, and on v5e that FLOP cost beats
+the systolic-utilization gain of wide tiles, so small B wins. All
+intermediates are VMEM-resident; HBM traffic is the speed-of-light
+2 × qtens bytes.
 """
 
 from __future__ import annotations
@@ -128,10 +129,13 @@ def _run(consts, elem_packed, q_lane, rrearth, interpret,
     )(consts, elem_packed, q_lane)
 
 
-def _eblock(nelemd: int) -> int:
-    """Largest element block ≤ 8 dividing nelemd (8·np² = 128 = one full
-    MXU/lane tile)."""
-    b = min(8, nelemd)
+def _eblock(nelemd: int, precision: str) -> int:
+    """Element block per the v5e sweep at the shipped size: the
+    block-diagonal stage matmul costs FLOPs ∝ B (kron(I_B, A) is B× the
+    MACs of B separate 16-wide dots), and that outweighs the systolic-tile
+    utilization gain of large B — measured best: B=2 at "highest"
+    (20.9 µs vs 26.4 at B=8), B=1 at bf16 (4.1 µs vs 7.9 at B=8)."""
+    b = min(2 if precision == "highest" else 1, nelemd)
     while nelemd % b:
         b -= 1
     return b
@@ -156,7 +160,7 @@ def _step(data: BiharmonicData, rrearth: float, interpret: bool,
     transform) + the Pallas kernel, traced once per shape/dtype."""
     dt = data.qtens.dtype
     e = data.dinv.shape[0]
-    b = _eblock(e)
+    b = _eblock(e, precision)
     consts = stage_matrices_jnp(data.dvv, b).astype(dt)
     elem_packed = pack_element_fields(
         data.dinv, data.spheremp, data.tensorvisc
@@ -182,7 +186,7 @@ def _loop(data: BiharmonicData, rrearth: float, interpret: bool,
 
     dt = data.qtens.dtype
     e = data.dinv.shape[0]
-    b = _eblock(e)
+    b = _eblock(e, precision)
     consts = stage_matrices_jnp(data.dvv, b).astype(dt)
     elem_packed = pack_element_fields(
         data.dinv, data.spheremp, data.tensorvisc
