@@ -216,3 +216,81 @@ def make_fused_operator_prebuilt(cfg, blockdiag: bool = False):
         return apply_operator(L, q_lane)
 
     return setup, step
+
+
+def _pallas_apply_kernel(L_ref, q_ref, out_ref):
+    # out[e,o,c] = Σ_p L[e,o,p] · q[e,p,c]: 16 unrolled broadcast-FMAs on
+    # VMEM-resident data. In XLA this formulation re-reads q 16× from HBM
+    # (measured 2.3× WORSE than the batched einsum at production scale);
+    # here the block is loaded once, so HBM traffic is exactly in+out and
+    # the FMAs run on-chip.
+    L = L_ref[...]
+    q = q_ref[...]
+    npts = L.shape[-1]
+    out_ref[...] = sum(
+        L[:, :, p:p + 1] * q[:, p:p + 1, :] for p in range(npts)
+    )
+
+
+def apply_operator_pallas(L, q_lane, eblock: int = 64):
+    """Blocked Pallas operator apply: grid over element blocks, q loaded
+    once per block, exact-f32 VPU FMAs (no MXU precision trade at all)."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cdk_tpu.core.platform import pallas_interpret
+
+    e, npts, ncol = q_lane.shape
+    b = min(eblock, e)
+    while e % b:
+        b -= 1
+    blk = lambda a: pl.BlockSpec((b, *a.shape[1:]), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _pallas_apply_kernel,
+        out_shape=jax.ShapeDtypeStruct(q_lane.shape, q_lane.dtype),
+        grid=(e // b,),
+        in_specs=[blk(L), blk(q_lane)],
+        out_specs=blk(q_lane),
+        interpret=pallas_interpret(),
+    )(L, q_lane)
+
+
+@register(
+    "biharmonic",
+    "fused_operator_pallas",
+    "prebuilt per-element operator applied by a blocked Pallas kernel: "
+    "exact-f32 VPU FMAs on VMEM-resident blocks, HBM traffic = in+out "
+    "only (the production-scale apply path; no MXU precision trade)",
+)
+def make_fused_operator_pallas(cfg):
+    rr = cfg.np_dtype(cfg.rrearth)
+
+    @jax.jit
+    def prepare(data: BiharmonicData):
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        return (L,)
+
+    @jax.jit
+    def step(aux, data: BiharmonicData) -> jnp.ndarray:
+        (L,) = aux
+        out = apply_operator_pallas(L, to_lane_layout(data.qtens))
+        return from_lane_layout(out, cfg)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+
+        def body(q, _):
+            return apply_operator_pallas(L, q), None
+
+        out, _ = lax.scan(body, to_lane_layout(data.qtens), None, length=n)
+        return from_lane_layout(out, cfg)
+
+    return {"prepare": prepare, "step": step, "loop": loop}

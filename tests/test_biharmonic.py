@@ -146,3 +146,18 @@ def test_fused_operator_loop_matches_chained_steps(small_data):
         d = dataclasses.replace(d, qtens=out)
     out_loop = loop(small_data, 3)
     assert rel_l2(np.asarray(out_loop), np.asarray(out)) < 1e-13
+
+
+def test_fused_operator_pallas_matches_reference(small_data, small_oracle):
+    step = _step(SMALL, 'fused_operator_pallas', small_data)
+    out = np.asarray(step(small_data))
+    assert rel_l2(out, small_oracle) < 1e-13
+
+
+def test_fused_operator_pallas_f32_full_size():
+    cfg = BiharmonicConfig(dtype="float32")
+    data = problem.init_data(cfg)
+    ref = np.asarray(reference.make_reference(cfg)(data))
+    out = np.asarray(_step(cfg, 'fused_operator_pallas', data)(data))
+    assert rel_l2(out, ref) < 5e-6  # exact-f32 FMAs; only operator-probe
+    # rounding differs from the unrolled reference
