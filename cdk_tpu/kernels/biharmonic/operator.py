@@ -232,17 +232,20 @@ def _pallas_apply_kernel(L_ref, q_ref, out_ref):
     )
 
 
-def apply_operator_pallas(L, q_lane, eblock: int = 64):
+def apply_operator_pallas(L, q_lane, eblock: int | None = None):
     """Blocked Pallas operator apply: grid over element blocks, q loaded
-    once per block, exact-f32 VPU FMAs (no MXU precision trade at all)."""
-    import functools as _ft
-
+    once per block, exact-f32 VPU FMAs (no MXU precision trade at all).
+    The block is sized to ~2 MB of q so the 16-term FMA chain's live
+    temporaries stay well inside VMEM (larger blocks crashed the Mosaic
+    compile at production ncol)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from cdk_tpu.core.platform import pallas_interpret
 
     e, npts, ncol = q_lane.shape
+    if eblock is None:
+        eblock = max(1, (2 * 2**20) // (npts * ncol * q_lane.dtype.itemsize))
     b = min(eblock, e)
     while e % b:
         b -= 1
