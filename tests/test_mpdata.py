@@ -275,3 +275,35 @@ def test_fct_limiter_non_oscillatory():
     f_jnp_int = np.asarray(f_jnp)[:, 3:nx + 3]
     assert (f_jnp_int <= mx_int + eps).all()
     assert (f_jnp_int >= np.minimum(mn_int, 0.0) - eps).all()
+
+
+def test_long_integration_stable_uniform_advection():
+    """Long-run stability in a physical regime: uniform advection at
+    Courant 0.2 with unit density stays bounded and positive for 200 steps
+    (the monotone scheme preserves the initial max). The miniapp's random
+    static u/w/rho init is NOT a stable integration regime — persistent
+    convergence zones grow f exponentially regardless of solver — which is
+    why the reference only ever runs one step."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = with_overrides(MpdataConfig(), nslices=4, nx=12, nz=10)
+    data = problem.init_data(cfg)
+    d = dataclasses.replace(
+        data,
+        u=jnp.full_like(data.u, 0.2),
+        w=jnp.zeros_like(data.w),
+        rho=jnp.ones_like(data.rho),
+        rhow=jnp.ones_like(data.rhow),
+        adz=jnp.ones_like(data.adz),
+    )
+    step = reference.make_reference(cfg)
+    m0 = float(np.asarray(d.f).max())
+    for _ in range(200):
+        f, flux = step(d)
+        d = dataclasses.replace(d, f=f, flux=flux)
+    fa = np.asarray(d.f)
+    assert np.isfinite(fa).all()
+    assert fa.min() >= 0.0
+    assert fa.max() <= m0 + 1e-12
