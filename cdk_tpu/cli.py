@@ -193,6 +193,17 @@ def main(argv=None) -> int:
         with open(args.json_out, "w") as fh:
             fh.write(driver.to_json(results))
         print(f"wrote {args.json_out}")
+    # a failed variant is a failed run (the reference prints violations and
+    # the human reads them, nested.F90:272-274; a CLI must exit non-zero)
+    failed = [
+        r["variant"]
+        for rs in results["kernels"].values()
+        for r in rs
+        if not r["ok"]
+    ]
+    if failed:
+        print(f"FAILED variants: {', '.join(failed)}")
+        return 1
     return 0
 
 

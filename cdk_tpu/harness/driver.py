@@ -45,6 +45,7 @@ class VariantResult:
     grid_points_per_s: float
     metrics: dict[str, float] = field(default_factory=dict)
     note: str = ""
+    fast_math: bool = False  # intentionally-lower-precision speed point
 
 
 def run_kernel(
@@ -90,8 +91,15 @@ def run_kernel(
         try:
             step2, aux, vloop = registry._materialize(var, cfg, data)
             out = jax.block_until_ready(step2(aux, data))
-        except Exception as e:  # a variant that cannot run at this size
-            say(f" {name:<22s}: ERROR {type(e).__name__}: {str(e)[:300]}")
+        except Exception as e:
+            # a variant that crashes is a FAILED result, not a silent skip
+            # (a regression must turn the bench red, not shrink it)
+            msg = f"{type(e).__name__}: {str(e)[:300]}"
+            say(f" {name:<22s}: ERROR {msg}  ** FAILED **")
+            results.append(VariantResult(
+                kernel, name, False, float("inf"), 0.0, {},
+                note=f"run error: {msg}", fast_math=var.fast_math,
+            ))
             continue
         check = spec.verify(cfg, out, ref_out, loose=var.fast_math)
         # per-step time via fetch-synced two-point slope over device-side
@@ -105,12 +113,20 @@ def run_kernel(
         try:
             sec = slope_time(make_runner, data, n1=iters, n2=8 * iters,
                              trials=trials)
-        except Exception as e:  # timing failure should not drop the verify
-            say(f" {name:<22s}: verified ok; timing ERROR "
-                f"{type(e).__name__}: {str(e)[:200]}")
+        except Exception as e:
+            # timing failure must not drop the verification verdict: keep
+            # the result (ok from the check) with no throughput claim
+            msg = f"{type(e).__name__}: {str(e)[:200]}"
+            say(f" {name:<22s}: verified "
+                f"{'ok' if check.ok else '** FAILED **'}; timing ERROR {msg}")
+            results.append(VariantResult(
+                kernel, name, check.ok, float("inf"), 0.0, check.metrics,
+                note=f"timing error: {msg}", fast_math=var.fast_math,
+            ))
             continue
         res = VariantResult(
-            kernel, name, check.ok, sec, gp / sec, check.metrics
+            kernel, name, check.ok, sec, gp / sec, check.metrics,
+            fast_math=var.fast_math,
         )
         results.append(res)
         status = "" if check.ok else "  ** VERIFY FAILED **"

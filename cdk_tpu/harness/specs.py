@@ -52,7 +52,11 @@ def _tol(cfg, loose, f64_tol, f32_tol):
 
 def _verify_biharmonic(cfg, out, ref, loose=False) -> CheckResult:
     l2 = rel_l2(np.asarray(out), np.asarray(ref))
-    tol = _tol(cfg, loose, 1e-13, 5e-5)
+    # f32 gate set to measured headroom + margin (best exact variants land
+    # at 8-10e-8 L2, the bf16x3 'high'-precision einsum at 8.6e-6 — see
+    # results/tpu-v5e/summary.txt): 2e-5 catches a precision regression the
+    # old 5e-5 gate would let slide
+    tol = _tol(cfg, loose, 1e-13, 2e-5)
     return CheckResult(
         ok=bool(np.isfinite(l2) and l2 < tol),
         lines=[f" L2 norm: {l2: .6E}  (tol {tol:g})"],
@@ -65,7 +69,9 @@ def _verify_mpdata(cfg, out, ref, loose=False) -> CheckResult:
     f_r, flux_r = ref
     e_f = rel_l1(np.asarray(f_o), np.asarray(f_r))
     e_flux = rel_l1(np.asarray(flux_o), np.asarray(flux_r))
-    tol = _tol(cfg, loose, 1e-13, 1e-4)
+    # f32 gates at measured headroom + margin (pallas_fused lands at
+    # f ≈ 0, flux 1.1e-7 — summary.txt): f ≤ 1e-6, flux ≤ 1e-5
+    tol = _tol(cfg, loose, 1e-13, 1e-6)
     return CheckResult(
         ok=bool(np.isfinite(e_f) and np.isfinite(e_flux)
                 and e_f < tol and e_flux < 10 * tol),
@@ -90,8 +96,9 @@ def _verify_cke(cfg, out, ref, loose=False) -> CheckResult:
             metrics={"n_violations": float(n_bad), "max_rel_err": max_err},
         )
     # f32: per-point relative error is dominated by cancellation at
-    # near-zero flux points; use the aggregate norm
-    tol = _tol(cfg, loose, cfg.errtol, 1e-5)
+    # near-zero flux points; use the aggregate norm.  Gate at measured
+    # headroom + margin (exact variants land at 3-5e-8 L1 — summary.txt)
+    tol = _tol(cfg, loose, cfg.errtol, 1e-6)
     e = rel_l1(np.asarray(out), np.asarray(ref))
     return CheckResult(
         ok=bool(np.isfinite(e) and e < tol),

@@ -105,6 +105,45 @@ def test_bf16_all_kernels_smoke():
             kernel, [(r.variant, r.metrics) for r in res])
 
 
+def test_broken_variant_turns_red():
+    """A deliberately-broken variant must surface as an explicit FAILED
+    result (and make the CLI exit non-zero) — never a silent skip
+    (VERDICT r1: harness/driver.py exception swallowing)."""
+    from cdk_tpu.core import registry
+
+    @registry.register("biharmonic", "_broken_wrong", "test-only")
+    def make_broken_wrong(cfg):
+        return lambda data: data.qtens * 2.0  # wrong answer
+
+    @registry.register("biharmonic", "_broken_crash", "test-only")
+    def make_broken_crash(cfg):
+        def step(data):
+            raise RuntimeError("deliberate crash")
+
+        return step
+
+    try:
+        cfg = with_overrides(BiharmonicConfig(), nelemd=2, nlev=4, qsize=2)
+        res = driver.run_kernel("biharmonic", cfg, iters=2, trials=1,
+                                quiet=True)
+        by_name = {r.variant: r for r in res}
+        assert not by_name["_broken_wrong"].ok
+        assert not by_name["_broken_crash"].ok
+        assert "deliberate crash" in by_name["_broken_crash"].note
+
+        from cdk_tpu.cli import main
+
+        rc = main([
+            "run", "biharmonic", "--set", "nelemd=2", "--set", "nlev=4",
+            "--set", "qsize=2", "--iters", "2", "--trials", "1",
+            "--variant", "reference_jnp", "--variant", "_broken_wrong",
+        ])
+        assert rc == 1
+    finally:
+        registry._REGISTRY["biharmonic"].pop("_broken_wrong", None)
+        registry._REGISTRY["biharmonic"].pop("_broken_crash", None)
+
+
 def test_cli_integrate(tmp_path, capsys):
     from cdk_tpu.cli import main
 
