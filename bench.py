@@ -83,6 +83,11 @@ def main() -> int:
     exact_ratios, fm_ratios = [], []
     exact_failures = []
     for kernel, spec in all_specs().items():
+        if kernel not in BASELINES_PTS_S:
+            # kernels beyond the reference's extracted set (e.g. the
+            # DSS-coupled biharmonic) have no baseline row — covered by
+            # tests + the scaling harness, not the headline geomean
+            continue
         cfg = with_overrides(spec.default_config(), dtype="float32")
         try:
             with _deadline(900):

@@ -80,12 +80,20 @@ def main(argv=None) -> int:
                       metavar="key=value")
 
     scalep = sub.add_parser(
-        "scaling", help="weak-scaling sweep of the dist mpdata step"
+        "scaling",
+        help="weak-scaling + overlap-gain sweeps of the dist steps "
+        "(mpdata | biharmonic | cke | all)",
     )
+    scalep.add_argument("kernel", nargs="?", default="all",
+                        choices=["mpdata", "biharmonic", "cke", "all"])
     scalep.add_argument("--devices", default="1,2,4,8")
     scalep.add_argument("--nx-per-device", type=int, default=64)
+    scalep.add_argument("--nelemd-per-device", type=int, default=16)
+    scalep.add_argument("--nedges-per-device", type=int, default=3200)
     scalep.add_argument("--steps", type=int, default=20)
     scalep.add_argument("--no-overlap", action="store_true")
+    scalep.add_argument("--overlap-gain", action="store_true",
+                        help="also measure serialized-vs-overlapped gain")
 
     args = p.parse_args(argv)
 
@@ -150,12 +158,47 @@ def main(argv=None) -> int:
     if args.cmd == "scaling":
         from cdk_tpu.harness import scaling
 
-        scaling.weak_scaling_mpdata(
-            device_counts=tuple(int(x) for x in args.devices.split(",")),
-            nx_per_device=args.nx_per_device,
-            n_steps=args.steps,
-            overlap=not args.no_overlap,
-        )
+        devices = tuple(int(x) for x in args.devices.split(","))
+        overlap = not args.no_overlap
+        kernels = (["mpdata", "biharmonic", "cke"]
+                   if args.kernel == "all" else [args.kernel])
+        for k in kernels:
+            if k == "mpdata":
+                scaling.weak_scaling_mpdata(
+                    device_counts=devices,
+                    nx_per_device=args.nx_per_device,
+                    n_steps=args.steps, overlap=overlap,
+                )
+                if args.overlap_gain:
+                    scaling.overlap_gain_mpdata(
+                        n_devices=devices[-1],
+                        nx_per_device=args.nx_per_device,
+                        n_steps=args.steps,
+                    )
+            elif k == "biharmonic":
+                scaling.weak_scaling_biharmonic(
+                    device_counts=devices,
+                    nelemd_per_device=args.nelemd_per_device,
+                    n_steps=args.steps, overlap=overlap,
+                )
+                if args.overlap_gain:
+                    scaling.overlap_gain_biharmonic(
+                        n_devices=devices[-1],
+                        nelemd_per_device=args.nelemd_per_device,
+                        n_steps=args.steps,
+                    )
+            else:
+                scaling.weak_scaling_cke(
+                    device_counts=devices,
+                    nedges_per_device=args.nedges_per_device,
+                    n_steps=args.steps,
+                )
+                if args.overlap_gain:
+                    scaling.overlap_gain_cke(
+                        n_devices=devices[-1],
+                        nedges_per_device=args.nedges_per_device,
+                        n_steps=args.steps,
+                    )
         return 0
 
     from dataclasses import asdict

@@ -6,15 +6,31 @@ extracted kernel — biharmonic_wk_kernel.F90:186-200, SURVEY §5), so the
 element dimension decomposes embarrassingly: shard every per-element array
 on its leading `nelemd` axis and let pjit/XLA keep all compute local with
 zero communication.  This is the capability the reference's hard-coded
-`nets..nete=16` single-node loop bounds (biharmonic:15-17) stand in for."""
+`nets..nete=16` single-node loop bounds (biharmonic:15-17) stand in for.
+
+`make_dist_step_dss` supplies the COMMUNICATING leg (VERDICT r1 #4): the
+two-application biharmonic with the ring-DSS assembly between Laplacians
+(kernels/biharmonic/dss.py defines the topology and single-device form).
+Per step each shard exchanges exactly two GLL boundary columns of the
+first-Laplacian output with its ring neighbors via `lax.ppermute`; the
+overlapped form computes the edge elements' Laplacian first, kicks off the
+permutes, and runs everything independent of the halos (interior Laplacian,
+interior DSS, interior second Laplacian) while they fly."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cdk_tpu.kernels.biharmonic.problem import BiharmonicData
+from cdk_tpu.kernels.biharmonic.problem import (
+    BiharmonicData,
+    to_lane_layout,
+)
 from cdk_tpu.kernels.biharmonic.reference import biharmonic_wk_reference
 
 
@@ -49,3 +65,152 @@ def make_dist_step(cfg, mesh: Mesh):
         return jax.lax.with_sharding_constraint(out, out_sharding)
 
     return step
+
+
+def make_dist_step_dss(cfg, mesh: Mesh, overlap: bool = False):
+    """Element-sharded two-application biharmonic with the ring-DSS
+    ppermute exchange.
+
+    Returns (shard_inputs, step, gather):
+      shard_inputs(data) -> (q_lane sharded over elements, aux) where aux
+        = (L, w): the probed per-element 16×16 operators and the inverse
+        assembled DSS mass — both STATIC per problem, built once (untimed
+        prepare, the reference's own staging discipline nested.F90:400-403)
+        so no spheremp columns ever travel at step time;
+      step(q_lane, aux) -> next q_lane (lane layout, sharded);
+      gather(q_lane) -> full (e, q, k, np, np) qtens on host.
+
+    The local compute is the TUNED form (per-element operator matmuls on
+    the MXU), per the dist-runs-the-fast-kernel rule (VERDICT r1 #1)."""
+    from cdk_tpu.kernels.biharmonic.dss import dss_apply, dss_weights
+    from cdk_tpu.kernels.biharmonic.operator import (
+        apply_operator,
+        build_element_operator,
+    )
+
+    axis = mesh.axis_names[0]
+    nparts = mesh.devices.size
+    rr = cfg.np_dtype(cfg.rrearth)
+    npg = cfg.np_gll
+    precision = "highest" if cfg.dtype == "float64" else "high"
+    espec = P(axis)
+    elem = NamedSharding(mesh, espec)
+    if cfg.nelemd % nparts:
+        raise ValueError(f"nelemd={cfg.nelemd} not divisible by {nparts}")
+    if overlap and cfg.nelemd // nparts < 2:
+        raise ValueError("overlap form needs >= 2 elements per shard")
+
+    def shard_inputs(data: BiharmonicData):
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        w = dss_weights(data.spheremp)
+        q_lane = to_lane_layout(data.qtens)
+        return (
+            jax.device_put(q_lane, elem),
+            (jax.device_put(L, elem), jax.device_put(w, elem)),
+        )
+
+    perm_fwd = [(i, (i + 1) % nparts) for i in range(nparts)]
+    perm_bwd = [(i, (i - 1) % nparts) for i in range(nparts)]
+
+    def _dss_cols(s4, w, from_left, from_right):
+        """Assemble with neighbor columns; s4 (E, np, np, ncol),
+        from_left/right (1, np, ncol) remote contributions."""
+        left = jnp.concatenate([from_left, s4[:-1, :, -1]], axis=0)
+        right = jnp.concatenate([s4[1:, :, 0], from_right], axis=0)
+        summed = jnp.concatenate(
+            [
+                (s4[:, :, 0] + left)[:, :, None],
+                s4[:, :, 1:-1],
+                (s4[:, :, -1] + right)[:, :, None],
+            ],
+            axis=2,
+        )
+        return summed * w[..., None]
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(espec, (espec, espec)),
+        out_specs=espec,
+        check_vma=False,
+    )
+    def step_serial(q_loc, aux):
+        L, w = aux
+        E, npts, ncol = q_loc.shape
+        s = apply_operator(L, q_loc, precision)
+        s4 = s.reshape(E, npg, npg, ncol)
+        # ring exchange: our first element's j=0 column goes to the left
+        # neighbor (arriving as its from_right); our last element's j=np-1
+        # column goes right (arriving as from_left)
+        from_right = lax.ppermute(s4[:1, :, 0], axis, perm_bwd)
+        from_left = lax.ppermute(s4[-1:, :, -1], axis, perm_fwd)
+        s2 = _dss_cols(s4, w, from_left, from_right)
+        return apply_operator(L, s2.reshape(E, npts, ncol), precision)
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(espec, (espec, espec)),
+        out_specs=espec,
+        check_vma=False,
+    )
+    def step_overlap(q_loc, aux):
+        L, w = aux
+        E, npts, ncol = q_loc.shape
+        # 1) edge elements' Laplacian first → their boundary columns can
+        #    ship while everything else computes
+        s_first = apply_operator(L[:1], q_loc[:1], precision)
+        s_last = apply_operator(L[-1:], q_loc[-1:], precision)
+        c_first = s_first.reshape(1, npg, npg, ncol)[:, :, 0]
+        c_last = s_last.reshape(1, npg, npg, ncol)[:, :, -1]
+        from_right = lax.ppermute(c_first, axis, perm_bwd)
+        from_left = lax.ppermute(c_last, axis, perm_fwd)
+
+        # 2) interior Laplacian — independent of the permutes
+        s_mid = apply_operator(L[1:-1], q_loc[1:-1], precision)
+        s = jnp.concatenate([s_first, s_mid, s_last], axis=0)
+        s4 = s.reshape(E, npg, npg, ncol)
+
+        # 3) interior DSS + interior second Laplacian: elements 1..E-2
+        #    need only locally-resident neighbor columns (the slice's
+        #    boundary contributions are the local edge elements' columns)
+        mid = (_dss_cols(s4[1:-1], w[1:-1], s4[:1, :, -1], s4[-1:, :, 0])
+               if E > 2 else s4[1:-1])
+        out_mid = apply_operator(
+            L[1:-1], mid.reshape(max(E - 2, 0), npts, ncol), precision
+        )
+
+        # 4) edge elements finish once halos land
+        def edge_dss(sl4, wsl, lcol, rcol):
+            summed = jnp.concatenate(
+                [
+                    (sl4[:, :, 0] + lcol)[:, :, None],
+                    sl4[:, :, 1:-1],
+                    (sl4[:, :, -1] + rcol)[:, :, None],
+                ],
+                axis=2,
+            )
+            return summed * wsl[..., None]
+
+        first = edge_dss(s4[:1], w[:1], from_left, s4[1:2, :, 0])
+        last = edge_dss(s4[-1:], w[-1:], s4[-2:-1, :, -1], from_right)
+        out_first = apply_operator(L[:1], first.reshape(1, npts, ncol),
+                                   precision)
+        out_last = apply_operator(L[-1:], last.reshape(1, npts, ncol),
+                                  precision)
+        return jnp.concatenate([out_first, out_mid, out_last], axis=0)
+
+    def gather(q_lane):
+        from cdk_tpu.kernels.biharmonic.problem import from_lane_layout
+        import numpy as np
+
+        return np.asarray(
+            jax.device_get(from_lane_layout(jnp.asarray(q_lane), cfg))
+        )
+
+    step = step_overlap if overlap else step_serial
+    return shard_inputs, step, gather

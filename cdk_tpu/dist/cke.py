@@ -91,3 +91,72 @@ def make_dist_step(cfg, mesh: Mesh):
         )
 
     return run
+
+
+def make_dist_step_ring(cfg, mesh: Mesh):
+    """CKE dist step with comm/compute OVERLAP (VERDICT r1 #8): instead of
+    one blocking all_gather followed by the whole gather-compute, the cell
+    chunks ride a ppermute ring and each chunk's contributions are gathered
+    into a per-(edge, slot) staging buffer WHILE the next chunk is in
+    flight — the standard ring-pipelined all-gather-consume.
+
+    Exactness: each (edge, slot) pair's cell lives in exactly one chunk, so
+    the staging buffer G(e, i, k) is FILLED (not accumulated) — order-
+    independent — and the final reduction runs in slot order i = 0..nAdv-1,
+    identical to the serialized step's edge_flux_peradv accumulation
+    (nested.F90:533-552 inner-loop order).  The parity test pins the two
+    dist forms bitwise-equal."""
+    ax = mesh.axis_names[0]
+    nparts = mesh.devices.size
+    c3o = cfg.np_dtype(cfg.coef3rdorder)
+    espec = P(ax, None)
+    # chunks move DOWN the ring (shard p receives chunk p+1 at step 1)
+    perm = [(i, (i - 1) % nparts) for i in range(nparts)]
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(espec, espec, espec, espec, espec, espec, espec),
+        out_specs=espec,
+        check_vma=False,
+    )
+    def step(adv_cells, adv_coefs, adv_coefs3, tracer_loc, mask_loc, ntf,
+             adv_mask):
+        from cdk_tpu.kernels.cke.reference import fsign1
+
+        t_loc = tracer_loc * mask_loc          # (Cl, K) owned chunk
+        cl, kv = t_loc.shape
+        el, a = adv_cells.shape
+        me = lax.axis_index(ax)
+        G = jnp.zeros((el, a, kv), t_loc.dtype)
+
+        def body(t, carry):
+            G, chunk = carry
+            # ship the chunk onward FIRST — the permute then overlaps the
+            # local gather below (both only read `chunk`)
+            nxt = lax.ppermute(chunk, ax, perm) if nparts > 1 else chunk
+            base = ((me + t) % nparts) * cl
+            for i in range(a):  # static unroll over contributing slots
+                idx = adv_cells[:, i] - base
+                inr = (idx >= 0) & (idx < cl)
+                g = jnp.take(chunk, jnp.clip(idx, 0, cl - 1), axis=0)
+                G = G.at[:, i].set(jnp.where(inr[:, None], g, G[:, i]))
+            return (G, nxt)
+
+        G, _ = lax.fori_loop(0, nparts, body, (G, t_loc))
+
+        s1 = jnp.zeros(ntf.shape, t_loc.dtype)
+        s3 = jnp.zeros(ntf.shape, t_loc.dtype)
+        for i in range(a):  # slot-order accumulation (exactness contract)
+            s1 = s1 + adv_coefs[:, i:i + 1] * G[:, i]
+            s3 = s3 + adv_coefs3[:, i:i + 1] * G[:, i]
+        return ntf * adv_mask * (s1 + c3o * s3 * fsign1(ntf))
+
+    def run(data: CkeData) -> jnp.ndarray:
+        return step(
+            data.adv_cells, data.adv_coefs, data.adv_coefs3, data.tracer,
+            data.cell_mask, data.ntf, data.adv_mask,
+        )
+
+    return run

@@ -129,6 +129,157 @@ def overlap_gain_mpdata(
             "gain": gain}
 
 
+def weak_scaling_biharmonic(
+    device_counts=(1, 2, 4, 8),
+    nelemd_per_device: int = 16,
+    nlev: int = 72,
+    qsize: int = 40,
+    dtype: str = "float32",
+    n_steps: int = 10,
+    overlap: bool = True,
+    quiet: bool = False,
+) -> list[ScalePoint]:
+    """DSS-coupled biharmonic weak scaling: elements grow with devices; per
+    step each shard exchanges two GLL boundary columns over the ring
+    (VERDICT r1 #6: the biharmonic leg of the scaling harness)."""
+    import time
+
+    from cdk_tpu.core.config import BiharmonicConfig
+    from cdk_tpu.dist import biharmonic as dist_bi
+    from cdk_tpu.kernels.biharmonic import problem
+
+    say = (lambda *a: None) if quiet else print
+    points: list[ScalePoint] = []
+    base = None
+    for n in device_counts:
+        if n > len(jax.devices()):
+            continue
+        cfg = with_overrides(
+            BiharmonicConfig(), nelemd=nelemd_per_device * n, nlev=nlev,
+            qsize=qsize, dtype=dtype,
+        )
+        m = meshmod.make_mesh(n)
+        shard_inputs, step, _ = dist_bi.make_dist_step_dss(
+            cfg, m, overlap=overlap and nelemd_per_device >= 2
+        )
+        q_s, aux = shard_inputs(problem.init_data(cfg))
+        fetch_sync(step(q_s, aux))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q = q_s
+            for _ in range(n_steps):
+                q = step(q, aux)
+            fetch_sync(q)
+            best = min(best, (time.perf_counter() - t0) / n_steps)
+        pts = cfg.grid_points / best
+        per_dev = pts / n
+        base = base or per_dev
+        eff = per_dev / base
+        points.append(ScalePoint(n, cfg.nelemd, best, pts, eff))
+        say(
+            f" weak-scaling biharmonic_dss n={n:<2d} nelemd={cfg.nelemd:<5d} "
+            f"{best * 1e6:9.2f} us/step {pts / 1e6:10.1f} M pts/s "
+            f"eff={eff * 100:5.1f}%"
+        )
+    return points
+
+
+def overlap_gain_biharmonic(
+    n_devices: int = 8,
+    nelemd_per_device: int = 16,
+    n_steps: int = 10,
+    dtype: str = "float32",
+    quiet: bool = False,
+) -> dict:
+    """Serialized vs overlapped DSS step at fixed size (the biharmonic leg
+    of the halo-overlap % north-star metric)."""
+    import time
+
+    from cdk_tpu.core.config import BiharmonicConfig
+    from cdk_tpu.dist import biharmonic as dist_bi
+    from cdk_tpu.kernels.biharmonic import problem
+
+    say = (lambda *a: None) if quiet else print
+    n = min(n_devices, len(jax.devices()))
+    cfg = with_overrides(BiharmonicConfig(), nelemd=nelemd_per_device * n,
+                         dtype=dtype)
+    m = meshmod.make_mesh(n)
+    data = problem.init_data(cfg)
+
+    def time_step(overlap):
+        shard_inputs, step, _ = dist_bi.make_dist_step_dss(
+            cfg, m, overlap=overlap)
+        q_s, aux = shard_inputs(data)
+        fetch_sync(step(q_s, aux))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q = q_s
+            for _ in range(n_steps):
+                q = step(q, aux)
+            fetch_sync(q)
+            best = min(best, (time.perf_counter() - t0) / n_steps)
+        return best
+
+    t_plain = time_step(False)
+    t_ov = time_step(True)
+    gain = (t_plain - t_ov) / t_plain
+    say(
+        f" overlap biharmonic_dss n={n}: plain {t_plain * 1e6:9.2f} us/step,"
+        f" overlapped {t_ov * 1e6:9.2f} us/step, gain {gain * 100:5.1f}%"
+    )
+    return {"n_devices": n, "plain_s": t_plain, "overlap_s": t_ov,
+            "gain": gain}
+
+
+def overlap_gain_cke(
+    n_devices: int = 8,
+    nedges_per_device: int = 3200,
+    ncells: int = 2800,
+    nvert: int = 100,
+    n_steps: int = 10,
+    dtype: str = "float32",
+    quiet: bool = False,
+) -> dict:
+    """all_gather-serialized vs ring-pipelined CKE dist step (VERDICT r1
+    #8's measurement hook); results are bitwise-equal by construction."""
+    import time
+
+    from cdk_tpu.core.config import CkeConfig
+    from cdk_tpu.dist import cke as dist_cke
+    from cdk_tpu.kernels.cke import problem
+
+    say = (lambda *a: None) if quiet else print
+    n = min(n_devices, len(jax.devices()))
+    cfg = with_overrides(CkeConfig(), nedges=nedges_per_device * n,
+                         ncells=ncells, nvertlevels=nvert, dtype=dtype)
+    m = meshmod.make_mesh(n)
+    data = dist_cke.shard_data(problem.init_data(cfg), m)
+
+    def time_step(run):
+        fetch_sync(run(data))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n_steps):
+                out = run(data)
+            fetch_sync(out)
+            best = min(best, (time.perf_counter() - t0) / n_steps)
+        return best
+
+    t_plain = time_step(dist_cke.make_dist_step(cfg, m))
+    t_ring = time_step(dist_cke.make_dist_step_ring(cfg, m))
+    gain = (t_plain - t_ring) / t_plain
+    say(
+        f" overlap cke n={n}: all_gather {t_plain * 1e6:9.2f} us/iter, "
+        f"ring {t_ring * 1e6:9.2f} us/iter, gain {gain * 100:5.1f}%"
+    )
+    return {"n_devices": n, "plain_s": t_plain, "overlap_s": t_ring,
+            "gain": gain}
+
+
 def weak_scaling_cke(
     device_counts=(1, 2, 4, 8),
     nedges_per_device: int = 3200,

@@ -174,6 +174,14 @@ def _specs() -> dict[str, KernelSpec]:
             _verify_biharmonic, lambda c: c.grid_points, 135,
             _scan_biharmonic,
         ),
+        # two-application biharmonic with the ring-DSS exchange (the HOMME
+        # structure the miniapp drops — SURVEY §5 deferred DSS); same
+        # problem data/config as the extracted single-application kernel
+        "biharmonic_dss": KernelSpec(
+            "biharmonic_dss", cfgmod.BiharmonicConfig, bi_problem.init_data,
+            _verify_biharmonic, lambda c: c.grid_points, 280,
+            _scan_biharmonic,
+        ),
         "mpdata": KernelSpec(
             "mpdata", cfgmod.MpdataConfig, mp_problem.init_data,
             _verify_mpdata, lambda c: c.grid_points, 60, _scan_mpdata,

@@ -1,0 +1,101 @@
+"""Two-application biharmonic with ring-DSS: single-device semantics,
+variant parity through the harness, and the N-device ppermute decomposition
+(serialized + overlapped) vs the single-device reference."""
+
+import numpy as np
+import pytest
+
+from cdk_tpu.core.config import BiharmonicConfig, with_overrides
+from cdk_tpu.core.norms import rel_l2
+from cdk_tpu.dist import biharmonic as dist_bi
+from cdk_tpu.dist import mesh as meshmod
+from cdk_tpu.kernels.biharmonic import dss, problem
+
+CFG = BiharmonicConfig()  # nelemd=16
+
+
+def test_dss_shared_dofs_agree():
+    """The defining DSS property: after assembly, both sharers of a GLL
+    column hold the identical value (out[e][..., -1] == out[e+1][..., 0])."""
+    data = problem.init_data(CFG)
+    s = np.asarray(
+        dss.dss_ring(
+            data.qtens, dss.dss_weights(data.spheremp)[:, None, None]
+        )
+    )
+    left = s[..., -1]
+    right = np.roll(s, -1, axis=0)[..., 0]
+    np.testing.assert_allclose(left, right, rtol=0, atol=0)
+
+
+def test_dss_interior_is_mass_projection():
+    """Interior dofs are untouched by assembly: dss == s/spheremp there."""
+    data = problem.init_data(CFG)
+    w = dss.dss_weights(data.spheremp)
+    s = np.asarray(data.qtens)
+    out = np.asarray(dss.dss_ring(data.qtens, w[:, None, None]))
+    sp = np.asarray(data.spheremp)[:, None, None]
+    np.testing.assert_allclose(
+        out[..., 1:-1], s[..., 1:-1] / sp[..., 1:-1], rtol=1e-14
+    )
+
+
+def test_dss_variants_through_harness():
+    from cdk_tpu.harness import driver
+
+    cfg = with_overrides(BiharmonicConfig(), nelemd=4, nlev=4, qsize=2)
+    res = driver.run_kernel("biharmonic_dss", cfg, iters=2, trials=1,
+                            quiet=True)
+    names = {r.variant for r in res}
+    assert names >= {"reference_jnp", "fused_operator", "fused_operator_f32"}
+    assert all(r.ok for r in res), [(r.variant, r.metrics) for r in res]
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+@pytest.mark.parametrize("overlap", [False, True])
+def test_dss_decomposed_matches_single(ndev, overlap):
+    from cdk_tpu.kernels.biharmonic.dss import make_reference
+
+    data = problem.init_data(CFG)
+    ref = np.asarray(make_reference(CFG)(data))
+    m = meshmod.make_mesh(ndev)
+    shard_inputs, step, gather = dist_bi.make_dist_step_dss(
+        CFG, m, overlap=overlap
+    )
+    q_s, aux = shard_inputs(data)
+    out = gather(step(q_s, aux))
+    # the dist path runs the probed-operator form; identity-basis probing
+    # reassociates the 4x4 contractions (f64: ~1e-15 relative)
+    assert rel_l2(out, ref) < 1e-12
+
+
+def test_dss_overlap_matches_serial_exactly():
+    """Overlapped and serialized dist forms are the same arithmetic —
+    bitwise-identical outputs."""
+    data = problem.init_data(CFG)
+    m = meshmod.make_mesh(4)
+    shard_inputs, step_s, gather = dist_bi.make_dist_step_dss(CFG, m)
+    _, step_o, _ = dist_bi.make_dist_step_dss(CFG, m, overlap=True)
+    q_s, aux = shard_inputs(data)
+    a = gather(step_s(q_s, aux))
+    b = gather(step_o(q_s, aux))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dss_multistep_chain():
+    """Chained dist steps (output feeds back) track the single-device chain."""
+    from cdk_tpu.kernels.biharmonic.dss import make_reference
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    data = problem.init_data(CFG)
+    ref_step = make_reference(CFG)
+    m = meshmod.make_mesh(8)
+    shard_inputs, step, gather = dist_bi.make_dist_step_dss(CFG, m)
+    q_s, aux = shard_inputs(data)
+    d = data
+    for _ in range(3):
+        q_ref = ref_step(d)
+        d = replace(d, qtens=q_ref)
+        q_s = step(q_s, aux)
+    assert rel_l2(gather(q_s), np.asarray(q_ref)) < 1e-11

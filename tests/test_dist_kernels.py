@@ -48,3 +48,38 @@ def test_overlap_gain_and_cke_scaling_plumbing():
         n_steps=2, quiet=True,
     )
     assert len(pts) == 2
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_cke_ring_overlap_matches_serialized(ndev):
+    """Ring-pipelined (overlapped) CKE dist step == all_gather serialized
+    step bitwise, and == reference at errTol."""
+    from cdk_tpu.kernels.cke import problem, reference
+    from cdk_tpu.core.config import CkeConfig
+
+    cfg = with_overrides(CkeConfig(), nedges=256, ncells=96, nvertlevels=20)
+    data = problem.init_data(cfg)
+    ref = np.asarray(reference.make_reference(cfg)(data))
+    m = meshmod.make_mesh(ndev)
+    sharded = dist_cke.shard_data(data, m)
+    out_s = np.asarray(dist_cke.make_dist_step(cfg, m)(sharded))
+    out_r = np.asarray(dist_cke.make_dist_step_ring(cfg, m)(sharded))
+    np.testing.assert_array_equal(out_r, out_s)
+    n_bad, max_err, _ = pointwise_check(out_r, ref, cfg.errtol)
+    assert n_bad == 0, f"max_err={max_err}"
+
+
+def test_scaling_harness_biharmonic_and_gains():
+    from cdk_tpu.harness import scaling
+
+    pts = scaling.weak_scaling_biharmonic(
+        device_counts=(1, 2), nelemd_per_device=2, nlev=4, qsize=2,
+        n_steps=2, quiet=True,
+    )
+    assert len(pts) == 2 and all(p.seconds_per_step > 0 for p in pts)
+    g1 = scaling.overlap_gain_biharmonic(
+        n_devices=2, nelemd_per_device=2, n_steps=2, quiet=True)
+    g2 = scaling.overlap_gain_cke(
+        n_devices=2, nedges_per_device=64, ncells=40, nvert=10, n_steps=2,
+        quiet=True)
+    assert g1["plain_s"] > 0 and g2["plain_s"] > 0
