@@ -1,0 +1,365 @@
+"""Packed-lanes Pallas MPDATA kernel: TWO slices' z-columns per 128-lane
+vector register.
+
+Round-1 finding (VERDICT r1 weak #3): the production-size fused kernel is
+VPU-throughput-bound at 45% lane occupancy — the (S, X, Z) layout puts the
+z column (nzm=57) on lanes, filling 57/128.  The aborted `pallas_lanes`
+redesign (slices on lanes) overflows VMEM when fully fused.  This kernel
+keeps the PROVEN (slices, x, z-on-lanes) architecture of `pallas_fused` and
+fixes occupancy by packing two slices per lane row:
+
+    packed[s2, x, c*64 + z] = orig[2*s2 + c, x, z]     c ∈ {0, 1}
+
+Each slice's z-column sits in its own 64-lane segment (z < 64 asserted);
+lane fill becomes 2*57/128 = 89%.  All x-direction stencils are untouched
+(x stays on sublanes).  The z-direction shifts become lane rolls with
+per-segment boundary fixups, exactly mirroring the reference's clamped
+k-indexing (advect_scalar2D…F90:477-642):
+
+    kb (k-1, clamp at k=1)    → shift right + restore at z=0 lanes {0, 64}
+    kc (k+1, clamp at k=nzm)  → shift left  + restore at z=56 lanes {56,120}
+    w(k+1) read               → plain shift left (z=57 exists in-segment)
+
+Pad-lane hygiene: f/u/w/flux segments pad with 0, rho/rhow/adz/kspan with 1
+(they are divided by), and f_out/flux are re-masked so pads stay exactly 0
+across multi-step scans.  The variant's timed path runs entirely in the
+packed layout (registry `loop` protocol — the reference's own
+device-resident `do n=1,nIters` discipline, nested.F90:191-199); pack and
+unpack happen once per run.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cdk_tpu.core.platform import pallas_interpret
+from cdk_tpu.core.registry import register
+from cdk_tpu.kernels.mpdata.problem import MpdataData
+from cdk_tpu.kernels.mpdata.reference import (
+    EPS,
+    _across,
+    _andiff,
+    _min3,
+    _pn,
+    _pp,
+)
+
+SEG = 64  # lanes per packed slice segment
+
+
+# ---------------------------------------------------------------- packing
+def pack3(a: jnp.ndarray, pad: float = 0.0) -> jnp.ndarray:
+    """(S, X, Z) -> (S/2, X, 2*SEG), each slice's z in its own segment."""
+    s, x, z = a.shape
+    assert s % 2 == 0 and z <= SEG
+    ap = jnp.pad(a, ((0, 0), (0, 0), (0, SEG - z)),
+                 constant_values=pad)
+    return ap.reshape(s // 2, 2, x, SEG).transpose(0, 2, 1, 3).reshape(
+        s // 2, x, 2 * SEG
+    )
+
+
+def pack2(a: jnp.ndarray, pad: float = 0.0) -> jnp.ndarray:
+    s, z = a.shape
+    assert s % 2 == 0 and z <= SEG
+    ap = jnp.pad(a, ((0, 0), (0, SEG - z)), constant_values=pad)
+    return ap.reshape(s // 2, 2, SEG).reshape(s // 2, 2 * SEG)
+
+
+def unpack3(ap: jnp.ndarray, z: int) -> jnp.ndarray:
+    s2, x, _ = ap.shape
+    a4 = ap.reshape(s2, x, 2, SEG).transpose(0, 2, 1, 3)
+    return a4.reshape(2 * s2, x, SEG)[..., :z]
+
+
+def unpack2(ap: jnp.ndarray, z: int) -> jnp.ndarray:
+    s2, _ = ap.shape
+    return ap.reshape(s2 * 2, SEG)[..., :z]
+
+
+# ------------------------------------------------------- packed z helpers
+def _lane_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * SEG), 2)
+
+
+def _kbp(a, m_z0):
+    """Packed kb: out[z] = a[max(0, z-1)] per segment."""
+    r = jnp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
+    return jnp.where(m_z0, a, r)
+
+
+def _kcp(a, m_kc):
+    """Packed kc: out[z] = a[min(nzm-1, z+1)] per segment."""
+    left = jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+    return jnp.where(m_kc, a, left)
+
+
+def _shl(a):
+    """Plain left shift: out[z] = a[z+1] (within-register; callers only
+    consume lanes whose z+1 stays inside the segment)."""
+    return jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+
+
+def advect_scalar2d_packed(f, u, w, rho, rhow, adz, flux_in, kspan, nzm):
+    """One MPDATA step on packed (S2, X, 2*SEG) arrays; stage-exact
+    transcription of reference.advect_scalar2d with packed z ops.
+    Returns (f_out, flux_out) packed."""
+    s2, fx, _ = f.shape
+    nx = fx - 6
+    one = jnp.asarray(1.0, f.dtype)
+    lane = _lane_iota()
+    zk = lane % SEG
+    m_z0 = zk == 0                       # z==0 lanes of both segments
+    m_kc = zk == nzm - 1                 # kc clamp lanes
+    valid = zk < nzm                     # z in [0, nzm)
+    valid_f = valid.astype(f.dtype)
+
+    kb = lambda a: _kbp(a, m_z0)
+    kc = lambda a: _kcp(a, m_kc)
+
+    irho = (1.0 / rho)[:, None, :]
+    iadz = (1.0 / adz)[:, None, :]
+    dd = 2.0 / kspan[None] / adz[:, None, :]
+    irhow = (1.0 / (rhow * adz))[:, None, :]
+    w_s = w  # z-aligned with the f-like arrays (same segment offsets)
+
+    # -- stage 1: FCT extrema over i=0..nx+1
+    f_c = f[:, 2:nx + 4]
+    f_ib = f[:, 1:nx + 3]
+    f_ic = f[:, 3:nx + 5]
+    mx = jnp.maximum(
+        jnp.maximum(jnp.maximum(f_ib, f_ic), jnp.maximum(kb(f_c), kc(f_c))),
+        f_c,
+    )
+    mn = jnp.minimum(
+        jnp.minimum(jnp.minimum(f_ib, f_ic), jnp.minimum(kb(f_c), kc(f_c))),
+        f_c,
+    )
+
+    # -- stage 2: first-order upwind fluxes + domain flux sum (+top BC:
+    #    www is zeroed at z >= nzm, which includes the z=nzm top face)
+    uuu = _pp(u) * f[:, 0:nx + 5] - _pn(u) * f[:, 1:nx + 6]
+    f_w = f[:, 1:nx + 5]
+    www = (_pp(w_s) * kb(f_w) - _pn(w_s) * f_w) * valid_f
+    flux = jnp.sum(www[:, 2:nx + 2], axis=1)
+
+    # -- stage 3: upwind update of f over i=-1..nx+2
+    upd = (
+        uuu[:, 1:nx + 5] - uuu[:, 0:nx + 4] + (_shl(www) - www) * iadz
+    ) * irho
+    f1 = jnp.concatenate(
+        [f[:, :1], f[:, 1:nx + 5] - upd, f[:, nx + 5:]], axis=1
+    )
+
+    # -- stage 4: antidiffusive pseudo-velocities
+    a_fib = f1[:, 1:nx + 4]
+    a_fi = f1[:, 2:nx + 5]
+    a_u = u[:, 1:nx + 4]
+    a_wib = w_s[:, 0:nx + 3]
+    a_wi = w_s[:, 1:nx + 4]
+    uuu2_body = _andiff(a_fib, a_fi, a_u, irho) - _across(
+        dd * (kc(a_fib) + kc(a_fi) - kb(a_fib) - kb(a_fi)),
+        a_u,
+        a_wib + kc(a_wib) + a_wi + kc(a_wi),
+    ) * irho
+    uuu2 = jnp.concatenate(
+        [uuu[:, :1], uuu2_body, uuu[:, nx + 4:]], axis=1
+    )
+    b_fi = f1[:, 2:nx + 4]
+    b_fib = f1[:, 1:nx + 3]
+    b_fic = f1[:, 3:nx + 5]
+    b_w = w_s[:, 1:nx + 3]
+    b_u = u[:, 1:nx + 3]
+    b_uic = u[:, 2:nx + 4]
+    www2_body = _andiff(kb(b_fi), b_fi, b_w, irhow) - _across(
+        kb(b_fic) + b_fic - kb(b_fib) - b_fib,
+        b_w,
+        kb(b_u) + b_u + b_uic + kb(b_uic),
+    ) * irho
+    www2_z = jnp.concatenate(
+        [www[:, :1], www2_body, www[:, nx + 3:]], axis=1
+    )
+    # bottom BC www(:,:,1)=0 + keep z>=nzm at 0 (top face already 0)
+    www2 = jnp.where(m_z0 | ~valid, jnp.asarray(0.0, f.dtype), www2_z)
+
+    # -- stage 5a: second extrema with the upwind-updated f
+    f1_c = f1[:, 2:nx + 4]
+    f1_ib = f1[:, 1:nx + 3]
+    f1_ic = f1[:, 3:nx + 5]
+    mx = jnp.maximum(
+        jnp.maximum(jnp.maximum(f1_ib, f1_ic),
+                    jnp.maximum(kb(f1_c), kc(f1_c))),
+        jnp.maximum(f1_c, mx),
+    )
+    mn = jnp.minimum(
+        jnp.minimum(jnp.minimum(f1_ib, f1_ic),
+                    jnp.minimum(kb(f1_c), kc(f1_c))),
+        jnp.minimum(f1_c, mn),
+    )
+
+    # -- stage 5b: in/out flux ratios
+    r_ui = uuu2[:, 1:nx + 3]
+    r_uic = uuu2[:, 2:nx + 4]
+    r_wi = www2[:, 1:nx + 3]
+    r_wkc = kc(r_wi)
+    rho_b = rho[:, None, :]
+    mxr = rho_b * (mx - f1_c) / (
+        _pn(r_uic) + _pp(r_ui) + iadz * (_pn(r_wkc) + _pp(r_wi)) + EPS
+    )
+    mnr = rho_b * (f1_c - mn) / (
+        _pp(r_uic) + _pn(r_ui) + iadz * (_pp(r_wkc) + _pn(r_wi)) + EPS
+    )
+
+    # -- stage 5c: limit fluxes + accumulate flux
+    l_u = uuu2[:, 2:nx + 3]
+    uuu3_body = (
+        _pp(l_u) * _min3(one, mxr[:, 1:nx + 2], mnr[:, 0:nx + 1])
+        - _pn(l_u) * _min3(one, mxr[:, 0:nx + 1], mnr[:, 1:nx + 2])
+    )
+    uuu3 = jnp.concatenate(
+        [uuu2[:, :2], uuu3_body, uuu2[:, nx + 3:]], axis=1
+    )
+    l_w = www2[:, 2:nx + 2]
+    mx_i = mxr[:, 1:nx + 1]
+    mn_i = mnr[:, 1:nx + 1]
+    www3_body = _pp(l_w) * _min3(one, mx_i, kb(mn_i)) - _pn(l_w) * _min3(
+        one, kb(mx_i), mn_i
+    )
+    www3 = jnp.concatenate(
+        [www2[:, :2], www3_body, www2[:, nx + 2:]], axis=1
+    )
+    flux = flux + jnp.sum(www3_body, axis=1)
+
+    # -- stage 6: final update with positive clip over i=1..nx
+    f6 = f1[:, 3:nx + 3]
+    upd6 = (
+        uuu3[:, 3:nx + 3] - uuu3[:, 2:nx + 2]
+        + (_shl(www3[:, 2:nx + 2]) - www3[:, 2:nx + 2]) * iadz
+    ) * irho
+    f_out = jnp.concatenate(
+        [f1[:, :3], jnp.maximum(0.0, f6 - upd6) * valid_f, f1[:, nx + 3:]],
+        axis=1,
+    )
+
+    flux_out = jnp.where(valid[0], flux, flux_in)
+    return f_out, flux_out
+
+
+# ------------------------------------------------------------ the kernel
+def _kernel(kspan_ref, f_ref, u_ref, w_ref, rho_ref, rhow_ref, adz_ref,
+            flux_ref, fout_ref, fluxout_ref, *, nzm):
+    f_out, flux_out = advect_scalar2d_packed(
+        f_ref[...], u_ref[...], w_ref[...], rho_ref[...], rhow_ref[...],
+        adz_ref[...], flux_ref[...], kspan_ref[...], nzm,
+    )
+    fout_ref[...] = f_out
+    fluxout_ref[...] = flux_out
+
+
+def _packed_kspan(nzm, dtype):
+    k1 = np.arange(SEG)
+    span = np.minimum(nzm - 1, k1 + 1) - np.maximum(0, k1 - 1)
+    span = np.where(k1 < nzm, span, 1).astype(dtype)
+    return jnp.asarray(np.concatenate([span, span])[None, :])
+
+
+def pick_block(s2: int) -> int:
+    for b in (16, 8):
+        if s2 % b == 0:
+            return b
+    return s2
+
+
+@functools.partial(jax.jit, static_argnames=("nzm", "block", "interpret"))
+def _run_packed(f, u, w, rho, rhow, adz, flux, kspan, nzm, block, interpret):
+    s2 = f.shape[0]
+    b = min(block, s2)
+    assert s2 % b == 0
+    blk3 = lambda a: pl.BlockSpec((b, a.shape[1], 2 * SEG),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((b, 2 * SEG), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, nzm=nzm),
+        out_shape=(
+            jax.ShapeDtypeStruct(f.shape, f.dtype),
+            jax.ShapeDtypeStruct(flux.shape, flux.dtype),
+        ),
+        grid=(s2 // b,),
+        in_specs=[
+            pl.BlockSpec((1, 2 * SEG), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            blk3(f), blk3(u), blk3(w), blk2, blk2, blk2, blk2,
+        ],
+        out_specs=(blk3(f), blk2),
+        interpret=interpret,
+    )(kspan, f, u, w, rho, rhow, adz, flux)
+
+
+def pack_data(data: MpdataData):
+    """-> (f_p, flux_p, aux) with aux the step-invariant packed fields."""
+    # w has nz=nzm+1 z-faces; x-extents differ per array (problem.py:28-31)
+    f_p = pack3(data.f)
+    u_p = pack3(data.u)
+    w_p = pack3(data.w)
+    rho_p = pack2(data.rho, pad=1.0)
+    rhow_p = pack2(data.rhow, pad=1.0)
+    adz_p = pack2(data.adz, pad=1.0)
+    flux_p = pack2(data.flux)
+    return f_p, flux_p, (u_p, w_p, rho_p, rhow_p, adz_p)
+
+
+@register(
+    "mpdata",
+    "pallas_packed",
+    "fused Pallas kernel with two slices packed per 128-lane register "
+    "(89% lane fill vs 45% for z-on-lanes); same stage-exact math, z "
+    "shifts become lane rolls with per-segment clamp fixups",
+)
+def make_pallas_packed(cfg):
+    interpret = pallas_interpret()
+    nzm, nz = cfg.nzm, cfg.nz
+    if nz > SEG or cfg.nslices % 2:
+        raise ValueError(
+            f"pallas_packed needs nz <= {SEG} and even nslices "
+            f"(got nz={nz}, nslices={cfg.nslices})"
+        )
+
+    def prepare(data: MpdataData):
+        kspan = _packed_kspan(nzm, data.f.dtype)
+        _, _, aux = pack_data(data)
+        return aux + (kspan,)
+
+    def step2(aux, data: MpdataData):
+        u_p, w_p, rho_p, rhow_p, adz_p, kspan = aux
+        f_p = pack3(data.f)
+        flux_p = pack2(data.flux)
+        b = pick_block(f_p.shape[0])
+        f_o, flux_o = _run_packed(f_p, u_p, w_p, rho_p, rhow_p, adz_p,
+                                  flux_p, kspan, nzm, b, interpret)
+        return unpack3(f_o, nzm), unpack2(flux_o, nz)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(data: MpdataData, n: int):
+        """n steps entirely in the packed layout (timed path)."""
+        kspan = _packed_kspan(nzm, data.f.dtype)
+        f_p, flux_p, (u_p, w_p, rho_p, rhow_p, adz_p) = pack_data(data)
+        b = pick_block(f_p.shape[0])
+
+        def body(carry, _):
+            f_c, flux_c = carry
+            out = _run_packed(f_c, u_p, w_p, rho_p, rhow_p, adz_p, flux_c,
+                              kspan, nzm, b, interpret)
+            return out, None
+
+        (f_o, flux_o), _ = jax.lax.scan(body, (f_p, flux_p), None, length=n)
+        return unpack3(f_o, nzm), unpack2(flux_o, nz)
+
+    return {"step": step2, "prepare": prepare, "loop": loop}
