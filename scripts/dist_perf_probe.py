@@ -1,0 +1,174 @@
+"""Real-chip probe: production-size dist-step throughput on a 1-device
+mesh vs the best single-chip variant (VERDICT r1 #1 'done' criterion:
+within ~15%), plus the packed-lanes mpdata kernel at shipped + production
+sizes (VERDICT r1 #3: >= 2x over the 2.58 ms round-1 figure).
+
+Phases (run one per invocation; the worker script sequences them):
+  mpdata_prod     — production mpdata: pallas_fused vs pallas_packed loops
+  mpdata_shipped  — shipped mpdata: pallas_fused vs pallas_packed loops
+  dist_mpdata     — production mpdata dist loop (pallas core, 1-dev mesh)
+  dist_cke        — shipped cke: gather_peradv vs dist step (1-dev mesh)
+  dss             — shipped biharmonic_dss fused_operator + dist DSS step
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+
+def _time_loop(loop, args, n1=10, n2=40, trials=3):
+    """Two-point slope timing of loop(*args, n) (device-side n-step run)."""
+    import time
+
+    from cdk_tpu.core.timer import fetch_sync
+
+    def run(n):
+        out = loop(*args, n)
+        fetch_sync(out)
+
+    run(n1)
+    run(n2)
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        run(n1)
+        t1 = time.perf_counter()
+        run(n2)
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return best
+
+
+def mpdata_variant(production: bool, variant: str):
+    from cdk_tpu.core.config import MpdataConfig, production_config, \
+        with_overrides
+    from cdk_tpu.core.registry import _materialize, get
+    from cdk_tpu.harness.specs import get_spec
+    from cdk_tpu.kernels.mpdata import problem
+
+    cfg = production_config("mpdata") if production else with_overrides(
+        MpdataConfig(), dtype="float32")
+    data = problem.init_data(cfg)
+    var = get("mpdata", variant)
+    step2, aux, vloop = _materialize(var, cfg, data)
+    if vloop is not None:
+        loop = lambda d, n: vloop(d, n)
+    else:
+        spec = get_spec("mpdata")
+        loop = lambda d, n: spec.scan_runner(step2, aux, n)(d)
+    sec = _time_loop(loop, (data,), n1=20, n2=120)
+    pts = cfg.grid_points / sec
+    print(f"[mpdata {'prod' if production else 'shipped'} {variant}] "
+          f"{sec * 1e6:9.2f} us/step  {pts / 1e9:7.2f} G pts/s", flush=True)
+
+
+def dist_mpdata(production: bool):
+    from cdk_tpu.core.config import MpdataConfig, production_config, \
+        with_overrides
+    from cdk_tpu.dist import mesh as meshmod, mpdata as dist_mp
+    from cdk_tpu.kernels.mpdata import problem
+
+    cfg = production_config("mpdata") if production else with_overrides(
+        MpdataConfig(), dtype="float32")
+    m = meshmod.make_mesh(1)
+    shard_inputs, _, _ = dist_mp.make_dist_step(cfg, m)
+    data = problem.init_data(cfg)
+    args = shard_inputs(data)
+    for kern in ("pallas", "jnp"):
+        loop = dist_mp.make_dist_loop(cfg, m, kernel=kern)
+        sec = _time_loop(lambda a0, a1, a2, a3, n: loop(a0, a1, a2, a3, n),
+                         args, n1=20, n2=120)
+        pts = cfg.grid_points / sec
+        print(f"[dist mpdata 1dev {kern}] {sec * 1e6:9.2f} us/step  "
+              f"{pts / 1e9:7.2f} G pts/s", flush=True)
+
+
+def dist_cke():
+    from cdk_tpu.core.config import CkeConfig, with_overrides
+    from cdk_tpu.core.timer import fetch_sync
+    from cdk_tpu.dist import cke as dist_cke_mod, mesh as meshmod
+    from cdk_tpu.kernels.cke import problem
+
+    import time
+
+    cfg = with_overrides(CkeConfig(), dtype="float32")
+    m = meshmod.make_mesh(1)
+    data = dist_cke_mod.shard_data(problem.init_data(cfg), m)
+    for name, run in (("all_gather", dist_cke_mod.make_dist_step(cfg, m)),
+                      ("ring", dist_cke_mod.make_dist_step_ring(cfg, m))):
+        fetch_sync(run(data))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(20):
+                out = run(data)
+            fetch_sync(out)
+            best = min(best, (time.perf_counter() - t0) / 20)
+        print(f"[dist cke 1dev {name}] {best * 1e6:9.2f} us/iter "
+              f"(incl. dispatch)", flush=True)
+
+
+def dss():
+    from cdk_tpu.core.config import BiharmonicConfig, with_overrides
+    from cdk_tpu.core.timer import fetch_sync
+    from cdk_tpu.dist import biharmonic as dist_bi, mesh as meshmod
+    from cdk_tpu.harness import driver
+
+    cfg = with_overrides(BiharmonicConfig(), dtype="float32")
+    res = driver.run_kernel("biharmonic_dss", cfg, iters=50, trials=3,
+                            quiet=True)
+    for r in res:
+        print(f"[biharmonic_dss {r.variant}] {r.seconds_per_call * 1e6:9.2f}"
+              f" us/step ok={r.ok}", flush=True)
+
+    import time
+
+    m = meshmod.make_mesh(1)
+    from cdk_tpu.kernels.biharmonic import problem
+    data = problem.init_data(cfg)
+    for overlap in (False, True):
+        shard_inputs, step, _ = dist_bi.make_dist_step_dss(cfg, m,
+                                                           overlap=overlap)
+        q_s, aux = shard_inputs(data)
+        fetch_sync(step(q_s, aux))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q = q_s
+            for _ in range(50):
+                q = step(q, aux)
+            fetch_sync(q)
+            best = min(best, (time.perf_counter() - t0) / 50)
+        print(f"[dist dss 1dev overlap={overlap}] {best * 1e6:9.2f} us/step"
+              f" (incl. dispatch)", flush=True)
+
+
+def main(phase: str) -> int:
+    from cdk_tpu.core.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+    import cdk_tpu.kernels  # noqa: F401
+
+    if phase == "mpdata_prod":
+        mpdata_variant(True, "pallas_fused")
+        mpdata_variant(True, "pallas_packed")
+    elif phase == "mpdata_shipped":
+        mpdata_variant(False, "pallas_fused")
+        mpdata_variant(False, "pallas_packed")
+    elif phase == "dist_mpdata":
+        dist_mpdata(True)
+    elif phase == "dist_cke":
+        dist_cke()
+    elif phase == "dss":
+        dss()
+    else:
+        raise SystemExit(f"unknown phase {phase}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1]))

@@ -161,3 +161,21 @@ def test_gather_peradv_matches_oracle(small_data, small_oracle):
     out = np.asarray(gather_peradv.make_gather_peradv(SMALL)(small_data))
     n_bad, max_err, lines = pointwise_check(out, small_oracle, SMALL.errtol)
     assert n_bad == 0, "\n".join(lines)
+
+
+def test_pallas_rows_and_staged_exact_midsize():
+    """New round-2 exact variants at a mid-size config: f64 pointwise at
+    errTol vs the reference (slot-order accumulation contract)."""
+    import numpy as np
+
+    from cdk_tpu.core.norms import pointwise_check
+    from cdk_tpu.core.registry import get
+
+    cfg = with_overrides(CkeConfig(), nedges=512, ncells=96, nvertlevels=30,
+                         nadv=7)
+    data = problem.init_data(cfg)
+    ref = np.asarray(reference.make_reference(cfg)(data))
+    for name in ("pallas_rows", "staged_consume"):
+        out = np.asarray(get("cke", name).fn(cfg)(data))
+        n_bad, max_err, _ = pointwise_check(out, ref, cfg.errtol)
+        assert n_bad == 0, (name, max_err)
