@@ -23,8 +23,14 @@ compile aborts. Making this layout work needs either a 2-3 way split of the
 stage chain (re-introducing HBM round-trips) or z-blocking with vertical
 halos; both trade away the single-kernel fusion that motivates the variant.
 The kernel is correct (validated in interpreter mode / CPU tests) and kept
-as the starting point for that follow-up. The practical production layouts
-today are pallas_fused (z-on-lanes) and the XLA reference."""
+as the record of that design point.
+
+RESOLUTION (round 2): the lane-occupancy follow-up shipped as
+`pallas_packed` (pallas_packed.py) — instead of slices-on-lanes (which
+needs 128 slices resident and overflows VMEM when fused), it packs TWO
+slices' z-columns per 128-lane register (89% fill) while keeping the
+proven (slice, x, z) architecture; no stage split, no vertical halos.
+This study stays experimental; `pallas_packed` is the production form."""
 
 from __future__ import annotations
 

@@ -134,6 +134,65 @@ void cdk_biharmonic_ref(int nelemd, int qsize, int nlev, int np,
   }
 }
 
+// Two-application biharmonic with ring-DSS assembly between — the HOMME
+// structure whose exchange the miniapp drops (SURVEY §5 deferred DSS).
+// Topology/assembly per cdk_tpu.kernels.biharmonic.dss: element e's
+// j=np-1 GLL column is element (e+1)%nelemd's j=0 column; assembled dof =
+// (sum of sharers) / (sum of sharers' spheremp); interior dof = s/sp.
+void cdk_biharmonic_dss_ref(int nelemd, int qsize, int nlev, int np,
+                            const double* dvv, const double* dinv,
+                            const double* spheremp,
+                            const double* tensorvisc, double rrearth,
+                            const double* qtens, double* out,
+                            double* scratch) {
+  const int npts = np * np;
+  const long long per_e = static_cast<long long>(qsize) * nlev * npts;
+  const long long total = static_cast<long long>(nelemd) * per_e;
+  // 1st Laplacian into scratch
+  cdk_biharmonic_ref(nelemd, qsize, nlev, np, dvv, dinv, spheremp,
+                     tensorvisc, rrearth, qtens, scratch);
+  // DSS assembly in place (reads need the pre-assembly neighbor columns,
+  // so stage the two shared columns per element first)
+  std::vector<double> left_col(total / np), right_col(total / np);
+  for (int e = 0; e < nelemd; ++e)
+    for (int q = 0; q < qsize; ++q)
+      for (int k = 0; k < nlev; ++k)
+        for (int i = 0; i < np; ++i) {
+          long long base = ((static_cast<long long>(e) * qsize + q) * nlev
+                            + k) * npts + i * np;
+          long long cidx = ((static_cast<long long>(e) * qsize + q) * nlev
+                            + k) * np + i;
+          left_col[cidx] = scratch[base + 0];
+          right_col[cidx] = scratch[base + np - 1];
+        }
+  for (int e = 0; e < nelemd; ++e) {
+    int el = (e - 1 + nelemd) % nelemd;
+    int er = (e + 1) % nelemd;
+    const double* sp = spheremp + static_cast<long long>(e) * npts;
+    const double* spl = spheremp + static_cast<long long>(el) * npts;
+    const double* spr = spheremp + static_cast<long long>(er) * npts;
+    for (int q = 0; q < qsize; ++q)
+      for (int k = 0; k < nlev; ++k)
+        for (int i = 0; i < np; ++i) {
+          long long base = ((static_cast<long long>(e) * qsize + q) * nlev
+                            + k) * npts + i * np;
+          long long cl = ((static_cast<long long>(el) * qsize + q) * nlev
+                          + k) * np + i;
+          long long cr = ((static_cast<long long>(er) * qsize + q) * nlev
+                          + k) * np + i;
+          for (int j = 1; j < np - 1; ++j)
+            scratch[base + j] /= sp[i * np + j];
+          scratch[base + 0] = (scratch[base + 0] + right_col[cl]) /
+                              (sp[i * np + 0] + spl[i * np + np - 1]);
+          scratch[base + np - 1] = (scratch[base + np - 1] + left_col[cr]) /
+                                   (sp[i * np + np - 1] + spr[i * np + 0]);
+        }
+  }
+  // 2nd Laplacian
+  cdk_biharmonic_ref(nelemd, qsize, nlev, np, dvv, dinv, spheremp,
+                     tensorvisc, rrearth, scratch, out);
+}
+
 // ---------------------------------------------------- cke oracle ----
 
 // Original-form edge flux (nested.F90:119-157): per-edge wgt/sgn column

@@ -82,3 +82,14 @@ def test_native_bench_driver_runs():
                        capture_output=True, text=True, check=True)
     assert "biharmonic CPU(C++) Timing" in r.stdout
     assert "cke" in r.stdout and "mpdata" in r.stdout
+
+
+def test_cpp_biharmonic_dss_oracle_matches_jnp():
+    from cdk_tpu.core.config import BiharmonicConfig, with_overrides
+    from cdk_tpu.kernels.biharmonic import dss, problem
+
+    cfg = with_overrides(BiharmonicConfig(), nelemd=5, nlev=3, qsize=2)
+    data = problem.init_data(cfg)
+    want = np.asarray(dss.make_reference(cfg)(data))
+    got = native.biharmonic_dss_ref(data, cfg.rrearth)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
