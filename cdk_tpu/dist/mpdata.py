@@ -216,22 +216,43 @@ def _exchange(x, h, axis_name, n):
     return jnp.concatenate([left, x, right], axis=1)
 
 
+def _resolve_kernel(cfg, kernel):
+    """AUTO (None) -> the packed-lanes Pallas core when the geometry
+    allows (even nslices, nz <= 64 — pallas_packed.py), else the
+    z-on-lanes Pallas core."""
+    if kernel is not None:
+        return kernel
+    from cdk_tpu.kernels.mpdata.pallas_packed import SEG
+
+    return "packed" if (cfg.nslices % 2 == 0 and cfg.nz <= SEG) else "pallas"
+
+
 def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
-                   kernel: str = "pallas"):
-    """Build (shard_inputs, step) for x-decomposed MPDATA on `mesh`.
+                   kernel: str | None = None):
+    """Build (shard_inputs, step, gather_f) for x-decomposed MPDATA.
 
     shard_inputs(data) -> (f_s, u_s, w_s, aux) sharded over the mesh axis;
     step(f_s, u_s, w_s, aux) -> (f_s_next, flux) one advection step with
     halo exchange; flux is replicated (psum over shards).
 
-    kernel: "pallas" (default) runs the fused Pallas masked core inside
-    shard_map — multi-chip runs execute at tuned-kernel speed, the same
-    variant discipline as the single-device registry (VERDICT r1 #1);
-    "jnp" keeps the XLA-compiled masked core (the directive-analog form)."""
+    kernel: None (AUTO) picks the fastest valid Pallas core; "packed" runs
+    the two-slices-per-register masked core (f/u/w travel and exchange in
+    the packed layout — pack/unpack only at the shard_inputs/gather
+    boundary); "pallas" the z-on-lanes masked core; "jnp" the XLA-compiled
+    masked core (the directive-analog form).  All three are the same
+    per-column arithmetic (parity-tested); running tuned kernels inside
+    shard_map is the VERDICT r1 #1 discipline."""
     from cdk_tpu.core.platform import pallas_interpret
-    from cdk_tpu.kernels.mpdata.pallas_masked import masked_step_pallas
+    from cdk_tpu.kernels.mpdata.pallas_masked import (
+        masked_step_pallas,
+        masked_step_pallas_packed,
+    )
+    from cdk_tpu.kernels.mpdata import pallas_packed as pk
 
+    kernel = _resolve_kernel(cfg, kernel)
     use_pallas = kernel == "pallas"
+    use_packed = kernel == "packed"
+    nzm_l = cfg.nzm
     interpret = pallas_interpret()
     axis = mesh.axis_names[0]
     nparts = mesh.devices.size
@@ -252,6 +273,17 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
         dev_put = lambda a, spec: jax.device_put(
             a, jax.sharding.NamedSharding(mesh, spec)
         )
+        if use_packed:
+            f_s = dev_put(pk.pack3(padx(f)), fspec)
+            u_s = dev_put(pk.pack3(padx(u_g)), fspec)
+            w_s = dev_put(pk.pack3(padx(w_g)), fspec)
+            aux = tuple(
+                dev_put(a, P())
+                for a in (pk.pack2(data.rho, pad=1.0),
+                          pk.pack2(data.rhow, pad=1.0),
+                          pk.pack2(data.adz, pad=1.0), data.flux)
+            )
+            return f_s, u_s, w_s, aux
         f_s = dev_put(padx(f), fspec)
         u_s = dev_put(padx(u_g), fspec)
         w_s = dev_put(padx(w_g), fspec)
@@ -271,14 +303,21 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
     )
     def step(f_loc, u_loc, w_loc, aux):
         rho, rhow, adz, flux_in = aux
-        nzm = f_loc.shape[-1]
+        nzm = nzm_l
         f_ext = _exchange(f_loc, halo, axis, nparts)
         u_ext = _exchange(u_loc, halo, axis, nparts)
         w_ext = _exchange(w_loc, halo, axis, nparts)
         me = lax.axis_index(axis)
         xl = chunk + 2 * halo
         gi0 = me * chunk - 2 - halo
-        if use_pallas:
+        if use_packed:
+            f_out_ext, flux_part = masked_step_pallas_packed(
+                f_ext, u_ext, w_ext, rho, rhow, adz, gi0,
+                nx=nx, nzm=nzm, owned_lo=halo, owned_hi=halo + chunk,
+                interpret=interpret,
+            )
+            flux_part = pk.unpack2(flux_part, nzm)
+        elif use_pallas:
             f_out_ext, flux_part = masked_step_pallas(
                 f_ext, u_ext, w_ext, rho, rhow, adz, gi0,
                 nx=nx, owned_lo=halo, owned_hi=halo + chunk,
@@ -298,13 +337,15 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
 
     def gather_f(f_s):
         """Collect the sharded f back to the reference global layout."""
+        if use_packed:
+            return np.asarray(pk.unpack3(jnp.asarray(f_s), nzm_l))[:, :xg]
         return np.asarray(f_s)[:, :xg]
 
     return shard_inputs, step, gather_f
 
 
 def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO,
-                           kernel: str = "pallas"):
+                           kernel: str | None = None):
     """x-decomposed MPDATA step with comm/compute OVERLAP.
 
     The plain step (make_dist_step) serializes: exchange → compute, so the
@@ -324,14 +365,22 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO,
     Results are identical to the serialized step (same per-column
     arithmetic; flux partial sums are disjoint across interior/strips).
 
-    Uses the same (shard_inputs, gather_f) as make_dist_step.  With
-    kernel="pallas" (default) the interior AND strip computations run the
-    fused Pallas masked core (three static column geometries → three
-    compiled kernels); the halo ppermutes still overlap the interior call."""
+    Uses the same (shard_inputs, gather_f) as make_dist_step built with the
+    SAME kernel choice.  With a Pallas kernel the interior AND strip
+    computations run the fused masked core (three static column geometries
+    → three compiled kernels); the halo ppermutes still overlap the
+    interior call."""
     from cdk_tpu.core.platform import pallas_interpret
-    from cdk_tpu.kernels.mpdata.pallas_masked import masked_step_pallas
+    from cdk_tpu.kernels.mpdata.pallas_masked import (
+        masked_step_pallas,
+        masked_step_pallas_packed,
+    )
+    from cdk_tpu.kernels.mpdata import pallas_packed as pk
 
+    kernel = _resolve_kernel(cfg, kernel)
     use_pallas = kernel == "pallas"
+    use_packed = kernel == "packed"
+    nzm_l = cfg.nzm
     interpret = pallas_interpret()
     axis = mesh.axis_names[0]
     nparts = mesh.devices.size
@@ -356,12 +405,19 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO,
     )
     def step(f_loc, u_loc, w_loc, aux):
         rho, rhow, adz, flux_in = aux
-        nzm = f_loc.shape[-1]
+        nzm = nzm_l
         me = lax.axis_index(axis)
         gi0 = me * chunk - 2
 
         def core(f_, u_, w_, gi0_, lo, hi):
             """Masked core on one column window, owned outputs [lo, hi)."""
+            if use_packed:
+                f_o, flux_p = masked_step_pallas_packed(
+                    f_, u_, w_, rho, rhow, adz, gi0_,
+                    nx=nx, nzm=nzm, owned_lo=lo, owned_hi=hi,
+                    interpret=interpret,
+                )
+                return f_o, pk.unpack2(flux_p, nzm)
             if use_pallas:
                 return masked_step_pallas(
                     f_, u_, w_, rho, rhow, adz, gi0_,
@@ -415,7 +471,7 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO,
 
 
 def make_dist_loop(cfg, mesh: Mesh, halo: int = HALO, overlap: bool = False,
-                   kernel: str = "pallas"):
+                   kernel: str | None = None):
     """n-step distributed integration under ONE jit: `lax.scan` over the
     halo-exchange step, so the whole multi-step run (exchanges included)
     compiles to a single device-side loop — the production integration

@@ -61,7 +61,7 @@ def _kernel(cells_ref, c1_ref, c3_ref, ntf_ref, advm_ref, t_ref, out_ref,
         acc_ref[pl.ds(e + eb, 1), :] = s3
         return 0
 
-    jax.lax.fori_loop(0, eb, body, 0, unroll=2)
+    jax.lax.fori_loop(0, eb, body, 0)  # Mosaic: only unroll=1/full
     s = acc_ref[...]
     s1, s3 = s[:eb], s[eb:]
     ntf = ntf_ref[...]

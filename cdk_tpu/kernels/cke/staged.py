@@ -58,10 +58,10 @@ def _run(adv_cells, adv_coefs, adv_coefs3, tracer, cell_mask, ntf, adv_mask,
     e, a = adv_cells.shape
     c, kv = tracer.shape
     t = tracer * cell_mask
-    # stage: one 1-D-indexed gather per slot (the fastest XLA gather form,
-    # scripts/cke_gather_experiments.py), each row written exactly once
-    g = jnp.stack([jnp.take(t, adv_cells[:, i], axis=0) for i in range(a)],
-                  axis=0)           # (A, E, K)
+    # stage: ONE slot-major flat gather straight into the (A, E, K)
+    # layout — a stack of per-slot gathers costs an extra full
+    # materialization (measured: stack form 863 us vs gather_peradv 726)
+    g = jnp.take(t, adv_cells.T.reshape(-1), axis=0).reshape(a, e, kv)
     eb = min(edge_block, e)
     assert e % eb == 0
     eblk = lambda d: pl.BlockSpec((eb, d), lambda i: (i, 0),

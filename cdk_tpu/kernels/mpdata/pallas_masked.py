@@ -30,6 +30,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cdk_tpu.kernels.mpdata.pallas_fused import auto_block
+from cdk_tpu.kernels.mpdata.pallas_packed import (
+    SEG,
+    _kbp,
+    _kcp,
+    _lane_iota,
+    _shl,
+)
 
 
 def _kernel(gi0_ref, kspan_ref, f_ref, u_ref, w_ref, rho_ref, rhow_ref,
@@ -46,6 +53,180 @@ def _kernel(gi0_ref, kspan_ref, f_ref, u_ref, w_ref, rho_ref, rhow_ref,
     )
     fout_ref[...] = f_out
     flux_ref[...] = flux
+
+
+def advect_scalar2d_masked_packed(f, u, w, rho, rhow, adz, gi, owned, nx,
+                                  kspan, nzm):
+    """Packed-lanes twin of dist.mpdata.advect_scalar2d_masked: collocated
+    (S2, X, 2*SEG) arrays, two slices per lane register (pallas_packed
+    geometry), same per-column global-index masking.  Pad-lane hygiene:
+    w is pre-masked, www intermediates are re-masked before z-shifts that
+    read upward, and f/flux outputs are re-masked — intermediate garbage
+    stays confined to pad lanes."""
+    from cdk_tpu.dist.mpdata import EPS, _xl, _xr
+    from cdk_tpu.kernels.mpdata.reference import (
+        _across,
+        _andiff,
+        _min3,
+        _pn,
+        _pp,
+    )
+
+    s2, X, _ = f.shape
+    lane = _lane_iota()
+    zk = lane % SEG
+    m_z0 = zk == 0
+    m_kc = zk == nzm - 1
+    valid = zk < nzm
+    valid_f = valid.astype(f.dtype)
+    kb = lambda a: _kbp(a, m_z0)
+    kc = lambda a: _kcp(a, m_kc)
+
+    gim = jnp.reshape(gi, (1, X, 1))
+    ownedm = jnp.reshape(owned, (1, X, 1))
+
+    def m(lo, hi):
+        return (gim >= lo) & (gim <= hi)
+
+    irho = (1.0 / rho)[:, None, :]
+    iadz = (1.0 / adz)[:, None, :]
+    dd = 2.0 / kspan[None] / adz[:, None, :]
+    irhow = (1.0 / (rhow * adz))[:, None, :]
+    w_s = w * valid_f          # collocated w, top face + pads zeroed
+    one = jnp.asarray(1.0, f.dtype)
+    fmask = m(1, nx) & ownedm
+
+    # stage 1: extrema
+    lf, rf = _xl(f), _xr(f)
+    mx = jnp.maximum(jnp.maximum(jnp.maximum(lf, rf),
+                                 jnp.maximum(kb(f), kc(f))), f)
+    mn = jnp.minimum(jnp.minimum(jnp.minimum(lf, rf),
+                                 jnp.minimum(kb(f), kc(f))), f)
+
+    # stage 2: upwind fluxes (www pads are exactly 0: w_s masked, f pads 0)
+    uuu = _pp(u) * lf - _pn(u) * f
+    www_k = _pp(w_s) * kb(f) - _pn(w_s) * f
+    flux = jnp.sum(jnp.where(fmask, www_k, 0.0), axis=1)
+    www_kp1 = _shl(www_k)      # z=nzm-1 reads the zeroed top face
+
+    # stage 3: upwind update
+    upd = (_xr(uuu) - uuu + (www_kp1 - www_k) * iadz) * irho
+    f1 = jnp.where(m(-1, nx + 2), f - upd, f)
+
+    # stage 4: antidiffusive velocities
+    lf1, rf1 = _xl(f1), _xr(f1)
+    lw = _xl(w_s)
+    uuu2_b = _andiff(lf1, f1, u, irho) - _across(
+        dd * (kc(lf1) + kc(f1) - kb(lf1) - kb(f1)),
+        u,
+        lw + kc(lw) + w_s + kc(w_s),
+    ) * irho
+    uuu2 = jnp.where(m(0, nx + 2), uuu2_b, uuu)
+    ru = _xr(u)
+    www2_b = _andiff(kb(f1), f1, w_s, irhow) - _across(
+        kb(rf1) + rf1 - kb(lf1) - lf1,
+        w_s,
+        kb(u) + u + ru + kb(ru),
+    ) * irho
+    www2_k = jnp.where(m(0, nx + 1), www2_b, www_k)
+    # bottom boundary www(:,:,1)=0 + confine pads
+    www2_k = jnp.where(m_z0, jnp.asarray(0.0, f.dtype), www2_k) * valid_f
+
+    # stage 5a: second extrema
+    mx = jnp.maximum(jnp.maximum(jnp.maximum(lf1, rf1),
+                                 jnp.maximum(kb(f1), kc(f1))),
+                     jnp.maximum(f1, mx))
+    mn = jnp.minimum(jnp.minimum(jnp.minimum(lf1, rf1),
+                                 jnp.minimum(kb(f1), kc(f1))),
+                     jnp.minimum(f1, mn))
+
+    # stage 5b: in/out flux ratios
+    ruuu2 = _xr(uuu2)
+    wkc = kc(www2_k)
+    rho_b = rho[:, None, :]
+    mxr = rho_b * (mx - f1) / (
+        _pn(ruuu2) + _pp(uuu2) + iadz * (_pn(wkc) + _pp(www2_k)) + EPS
+    )
+    mnr = rho_b * (f1 - mn) / (
+        _pp(ruuu2) + _pn(uuu2) + iadz * (_pp(wkc) + _pn(www2_k)) + EPS
+    )
+
+    # stage 5c: limit fluxes
+    lmxr, lmnr = _xl(mxr), _xl(mnr)
+    uuu3 = jnp.where(
+        m(1, nx + 1),
+        _pp(uuu2) * _min3(one, mxr, lmnr) - _pn(uuu2) * _min3(one, lmxr, mnr),
+        uuu2,
+    )
+    www3_b = (_pp(www2_k) * _min3(one, mxr, kb(mnr))
+              - _pn(www2_k) * _min3(one, kb(mxr), mnr))
+    www3_k = jnp.where(m(1, nx), www3_b, www2_k) * valid_f
+    flux = flux + jnp.sum(jnp.where(fmask, www3_b * valid_f, 0.0), axis=1)
+
+    # stage 6: final update with positive clip
+    www3_kp1 = _shl(www3_k)    # pads zeroed above -> top face reads 0
+    upd6 = (_xr(uuu3) - uuu3 + (www3_kp1 - www3_k) * iadz) * irho
+    f_out = jnp.where(m(1, nx), jnp.maximum(0.0, f1 - upd6), f1) * valid_f
+    return f_out, flux * valid_f[0]
+
+
+def _kernel_packed(gi0_ref, kspan_ref, f_ref, u_ref, w_ref, rho_ref,
+                   rhow_ref, adz_ref, fout_ref, flux_ref, *, nx, owned_lo,
+                   owned_hi, nzm):
+    X = f_ref.shape[1]
+    li = jax.lax.broadcasted_iota(jnp.int32, (X, 1), 0)
+    gi = gi0_ref[0, 0] + li
+    owned = (li >= owned_lo) & (li < owned_hi)
+    f_out, flux = advect_scalar2d_masked_packed(
+        f_ref[...], u_ref[...], w_ref[...], rho_ref[...], rhow_ref[...],
+        adz_ref[...], gi, owned, nx, kspan_ref[...], nzm,
+    )
+    fout_ref[...] = f_out
+    flux_ref[...] = flux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "nzm", "owned_lo", "owned_hi", "block",
+                     "interpret"),
+)
+def masked_step_pallas_packed(f, u, w, rho, rhow, adz, gi0, *, nx, nzm,
+                              owned_lo, owned_hi, block=None,
+                              interpret=False):
+    """Packed-lanes masked step on (S2, X, 2*SEG) collocated arrays.
+    Returns (f_out packed, flux_partial (S2, 2*SEG) packed)."""
+    from cdk_tpu.kernels.mpdata.pallas_packed import _packed_kspan, \
+        pick_block
+
+    s2, X, _ = f.shape
+    b = block or pick_block(s2)
+    b = min(b, s2)
+    assert s2 % b == 0
+    kspan = _packed_kspan(nzm, f.dtype)
+    gi0_arr = jnp.reshape(jnp.asarray(gi0, jnp.int32), (1, 1))
+    blk3 = lambda a: pl.BlockSpec((b, a.shape[1], 2 * SEG),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((b, 2 * SEG), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_packed, nx=nx, owned_lo=owned_lo,
+                          owned_hi=owned_hi, nzm=nzm),
+        out_shape=(
+            jax.ShapeDtypeStruct(f.shape, f.dtype),
+            jax.ShapeDtypeStruct((s2, 2 * SEG), f.dtype),
+        ),
+        grid=(s2 // b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2 * SEG), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            blk3(f), blk3(u), blk3(w), blk2, blk2, blk2,
+        ],
+        out_specs=(blk3(f), blk2),
+        interpret=interpret,
+    )(gi0_arr, kspan, f, u, w, rho, rhow, adz)
 
 
 @functools.partial(

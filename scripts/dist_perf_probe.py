@@ -74,10 +74,11 @@ def dist_mpdata(production: bool):
     cfg = production_config("mpdata") if production else with_overrides(
         MpdataConfig(), dtype="float32")
     m = meshmod.make_mesh(1)
-    shard_inputs, _, _ = dist_mp.make_dist_step(cfg, m)
     data = problem.init_data(cfg)
-    args = shard_inputs(data)
-    for kern in ("pallas", "jnp"):
+    for kern in ("packed", "pallas", "jnp"):
+        # shard layout differs per kernel (packed travels packed)
+        shard_inputs, _, _ = dist_mp.make_dist_step(cfg, m, kernel=kern)
+        args = shard_inputs(data)
         loop = dist_mp.make_dist_loop(cfg, m, kernel=kern)
         sec = _time_loop(lambda a0, a1, a2, a3, n: loop(a0, a1, a2, a3, n),
                          args, n1=20, n2=120)

@@ -122,22 +122,27 @@ def test_dist_loop_scan_matches_chained(overlap):
     assert rel_l1(np.asarray(flux_l), np.asarray(flux_c)) < 1e-15
 
 
+@pytest.mark.parametrize("kernel", ["pallas", "packed"])
 @pytest.mark.parametrize("overlap", [False, True])
-def test_pallas_dist_kernel_matches_jnp(overlap):
-    """The Pallas-backed dist step (VERDICT r1 #1: dist must run the tuned
-    kernel) produces the same values as the jnp masked core on the mesh."""
+def test_pallas_dist_kernel_matches_jnp(overlap, kernel):
+    """The Pallas-backed dist steps (VERDICT r1 #1: dist must run the tuned
+    kernel; 'packed' = two-slices-per-register layout) produce the same
+    values as the jnp masked core on the mesh."""
     data = problem.init_data(CFG)
     m = meshmod.make_mesh(4)
-    shard_inputs, _, gather_f = dist_mpdata.make_dist_step(
+    shard_inputs_j, _, gather_j = dist_mpdata.make_dist_step(
         CFG, m, kernel="jnp")
-    args = shard_inputs(data)
+    shard_inputs_p, _, gather_p = dist_mpdata.make_dist_step(
+        CFG, m, kernel=kernel)
+    args_j = shard_inputs_j(data)
+    args_p = shard_inputs_p(data)
     if overlap:
         step_j = dist_mpdata.make_dist_step_overlap(CFG, m, kernel="jnp")
-        step_p = dist_mpdata.make_dist_step_overlap(CFG, m, kernel="pallas")
+        step_p = dist_mpdata.make_dist_step_overlap(CFG, m, kernel=kernel)
     else:
         _, step_j, _ = dist_mpdata.make_dist_step(CFG, m, kernel="jnp")
-        _, step_p, _ = dist_mpdata.make_dist_step(CFG, m, kernel="pallas")
-    f_j, flux_j = step_j(*args)
-    f_p, flux_p = step_p(*args)
-    assert rel_l1(gather_f(f_p), gather_f(f_j)) < 1e-14
+        _, step_p, _ = dist_mpdata.make_dist_step(CFG, m, kernel=kernel)
+    f_j, flux_j = step_j(*args_j)
+    f_p, flux_p = step_p(*args_p)
+    assert rel_l1(gather_p(f_p), gather_j(f_j)) < 1e-14
     assert rel_l1(np.asarray(flux_p), np.asarray(flux_j)) < 1e-14
