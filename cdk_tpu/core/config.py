@@ -177,6 +177,10 @@ PRODUCTION = {
     ),
     "mpdata": lambda: MpdataConfig(nslices=8192, dtype="float32",
                                    device_init=True),
+    # the DSS-coupled family shares the biharmonic problem/scale
+    "biharmonic_dss": lambda: BiharmonicConfig(
+        nelemd=5400, qsize=10, dtype="float32", device_init=True
+    ),
     "cke": lambda: CkeConfig(
         nedges=256000, ncells=28000, dtype="float32", device_init=True
     ),
