@@ -15,8 +15,7 @@ from __future__ import annotations
 
 import sys
 
-import jax
-import numpy as np
+
 
 
 def _time_loop(loop, args, n1=10, n2=40, trials=3):
