@@ -88,7 +88,12 @@ def main() -> int:
             # DSS-coupled biharmonic) have no baseline row — covered by
             # tests + the scaling harness, not the headline geomean
             continue
-        cfg = with_overrides(spec.default_config(), dtype="float32")
+        # device-side init: the tunnel's host->device upload is 0.5-20 MB/s
+        # and was observed to add 11 min of staging for CKE's ~25 MB of
+        # host arrays; jax.random generation on device has the same
+        # shapes/distributions and verification runs against the same data
+        cfg = with_overrides(spec.default_config(), dtype="float32",
+                             device_init=True)
         try:
             with _deadline(900):
                 results = driver.run_kernel(kernel, cfg, iters=100,
