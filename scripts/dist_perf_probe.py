@@ -159,6 +159,9 @@ def main(phase: str) -> int:
     elif phase == "mpdata_shipped":
         mpdata_variant(False, "pallas_fused")
         mpdata_variant(False, "pallas_packed")
+    elif phase == "mpdata_bf16":
+        mpdata_variant(False, "pallas_packed_bf16")
+        mpdata_variant(True, "pallas_packed_bf16")
     elif phase == "dist_mpdata":
         dist_mpdata(True)
     elif phase == "dist_cke":
