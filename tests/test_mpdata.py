@@ -350,3 +350,28 @@ def test_pallas_packed_rejects_bad_geometry():
 
         with _pytest.raises(ValueError):
             get("mpdata", "pallas_packed").fn(cfg)
+
+
+def test_packed_z_helpers_match_plain():
+    """kbp/kcp/pack round-trip: packed lane ops reproduce the plain
+    clamped z-shifts segment-by-segment on random data."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from cdk_tpu.kernels.mpdata import pallas_packed as pk
+    from cdk_tpu.kernels.mpdata.reference import _kb, _kc
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4, 5, 30))
+    ap = pk.pack3(jnp.asarray(a))
+    assert np.array_equal(pk.unpack3(ap, 30), a)
+
+    import jax
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * pk.SEG), 2)
+    zk = lane % pk.SEG
+    kbp = pk._kbp(ap, zk == 0)
+    kcp = pk._kcp(ap, zk == 29)
+    np.testing.assert_array_equal(pk.unpack3(kbp, 30), _kb(jnp.asarray(a)))
+    np.testing.assert_array_equal(pk.unpack3(kcp, 30), _kc(jnp.asarray(a)))
