@@ -214,3 +214,20 @@ def make_dist_step_dss(cfg, mesh: Mesh, overlap: bool = False):
 
     step = step_overlap if overlap else step_serial
     return shard_inputs, step, gather
+
+
+def make_dist_loop_dss(cfg, mesh: Mesh, overlap: bool = False):
+    """n chained DSS-biharmonic steps under ONE jit (`lax.scan` over the
+    ppermute-exchange step) — one dispatch per run, the production
+    integration shape (mirrors dist.mpdata.make_dist_loop)."""
+    _, step, _ = make_dist_step_dss(cfg, mesh, overlap=overlap)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(q_s, aux, n: int):
+        def body(q, _):
+            return step(q, aux), None
+
+        q_out, _ = jax.lax.scan(body, q_s, None, length=n)
+        return q_out
+
+    return loop

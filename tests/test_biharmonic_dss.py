@@ -99,3 +99,21 @@ def test_dss_multistep_chain():
         d = replace(d, qtens=q_ref)
         q_s = step(q_s, aux)
     assert rel_l2(gather(q_s), np.asarray(q_ref)) < 1e-11
+
+
+def test_dss_dist_loop_matches_chained():
+    from cdk_tpu.kernels.biharmonic.dss import make_reference
+    from dataclasses import replace
+
+    data = problem.init_data(CFG)
+    ref_step = make_reference(CFG)
+    m = meshmod.make_mesh(4)
+    shard_inputs, step, gather = dist_bi.make_dist_step_dss(CFG, m)
+    loop = dist_bi.make_dist_loop_dss(CFG, m)
+    q_s, aux = shard_inputs(data)
+    out_loop = gather(loop(q_s, aux, 3))
+    d = data
+    for _ in range(3):
+        q_ref = ref_step(d)
+        d = replace(d, qtens=q_ref)
+    assert rel_l2(out_loop, np.asarray(q_ref)) < 1e-11
