@@ -23,7 +23,8 @@ def main(nedges: int) -> int:
     from cdk_tpu.kernels.cke.reference import fsign1
 
     enable_compilation_cache()
-    cfg = with_overrides(CkeConfig(), dtype="float32", nedges=nedges)
+    cfg = with_overrides(CkeConfig(), dtype="float32", nedges=nedges,
+                         device_init=True)
     data = problem.init_data(cfg)
     coef3 = jnp.float32(cfg.coef3rdorder)
 
