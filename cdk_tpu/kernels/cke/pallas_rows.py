@@ -106,7 +106,12 @@ def _run(adv_cells, adv_coefs, adv_coefs3, tracer, cell_mask, ntf, adv_mask,
     "pallas_rows",
     "scalar-prefetch Pallas gather: VMEM-resident tracer table, SMEM "
     "connectivity, per-(edge,slot) dynamic row reads with slot-order "
-    "accumulate (exact; the cke_impl2 team-scratch analog)",
+    "accumulate (exact; the cke_impl2 team-scratch analog). Edge block "
+    "capped at 128: larger blocks crash the Mosaic compiler "
+    "(tpu_compile_helper exit 1 at eb=2560, v5e 2026-08); the table is "
+    "re-used across grid steps (constant index_map), so small blocks only "
+    "add grid overhead",
+    experimental=True,
 )
 def make_pallas_rows(cfg):
     c3 = float(cfg.coef3rdorder)
@@ -116,7 +121,7 @@ def make_pallas_rows(cfg):
     def step(data: CkeData) -> jnp.ndarray:
         e = data.ntf.shape[0]
         eb = e
-        for cand in (2560, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        for cand in (128, 64, 32, 16, 8):
             if e % cand == 0 and cand <= e:
                 eb = cand
                 break
