@@ -54,7 +54,12 @@ from cdk_tpu.kernels.mpdata.reference import (
     _pp,
 )
 
-HALO = 4  # ≥ 3 required (stencil depth), 4 for margin
+# Exchange halo width. 3 = the exact f→f_out stencil dependency depth
+# (f_out(i) reads f(i±3)); verified exact at f64 on the 2/8-device mesh.
+# Round 1 shipped 4 "for margin" — the margin costs 2 extra computed
+# columns per shard and 25% more exchange bytes for nothing the tests can
+# detect, so round 2 runs the exact depth.
+HALO = 3
 
 
 def _xl(a):
