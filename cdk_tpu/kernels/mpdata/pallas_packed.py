@@ -384,10 +384,13 @@ def make_pallas_packed(cfg):
 @register(
     "mpdata",
     "pallas_packed_bf16",
-    "packed-lanes kernel computing in bfloat16 (speed point: half the "
-    "traffic, double the VPU width)",
+    "packed-lanes kernel computing in bfloat16 — measured LOSS on v5e "
+    "(1799 us vs 1122 us f32 at production: elementwise bf16 runs at f32 "
+    "VPU rate plus conversion overhead, and the kernel is compute-bound); "
+    "kept as the recorded design point",
     supports_f64=False,
     fast_math=True,
+    experimental=True,
 )
 def make_pallas_packed_bf16(cfg):
     import jax.numpy as _jnp
