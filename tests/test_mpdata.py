@@ -375,3 +375,55 @@ def test_packed_z_helpers_match_plain():
     kcp = pk._kcp(ap, zk == 29)
     np.testing.assert_array_equal(pk.unpack3(kbp, 30), _kb(jnp.asarray(a)))
     np.testing.assert_array_equal(pk.unpack3(kcp, 30), _kc(jnp.asarray(a)))
+
+
+def test_pallas_packed_geometry_fuzz():
+    """Packed kernel vs reference across random small geometries (odd
+    nzm, tiny nx, varying slices) — the segment-boundary fixups must hold
+    everywhere, not just at the shipped shape."""
+    import numpy as np
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        ns = int(rng.choice([2, 4, 6, 8]))
+        nx = int(rng.integers(4, 12))
+        nzm = int(rng.integers(3, 63))
+        cfg = with_overrides(MpdataConfig(), nslices=ns, nx=nx, nz=nzm + 1)
+        data = problem.init_data(cfg)
+        f_r, flux_r = reference.make_reference(cfg)(data)
+        step2, aux, _ = _materialize(get("mpdata", "pallas_packed"), cfg,
+                                     data)
+        f_o, flux_o = step2(aux, data)
+        np.testing.assert_allclose(np.asarray(f_o), np.asarray(f_r),
+                                   rtol=0, atol=1e-12,
+                                   err_msg=f"ns={ns} nx={nx} nzm={nzm}")
+        np.testing.assert_allclose(np.asarray(flux_o), np.asarray(flux_r),
+                                   rtol=1e-12,
+                                   err_msg=f"ns={ns} nx={nx} nzm={nzm}")
+
+
+def test_dist_packed_geometry_fuzz():
+    """Packed masked dist step vs reference across random geometries and
+    device counts (global-index masks + segment fixups together)."""
+    import numpy as np
+
+    from cdk_tpu.dist import mesh as meshmod
+    from cdk_tpu.dist import mpdata as dist_mpdata
+
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        ns = int(rng.choice([2, 4]))
+        nx = int(rng.integers(8, 40))
+        nzm = int(rng.integers(5, 60))
+        ndev = int(rng.choice([2, 4]))
+        cfg = with_overrides(MpdataConfig(), nslices=ns, nx=nx, nz=nzm + 1)
+        data = problem.init_data(cfg)
+        f_r, _ = reference.make_reference(cfg)(data)
+        m = meshmod.make_mesh(ndev)
+        si, step, gf = dist_mpdata.make_dist_step(cfg, m, kernel="packed")
+        f_o, _ = step(*si(data))
+        np.testing.assert_allclose(
+            gf(f_o), np.asarray(f_r), rtol=0, atol=1e-12,
+            err_msg=f"ns={ns} nx={nx} nzm={nzm} ndev={ndev}")
