@@ -193,6 +193,75 @@ def make_fused_operator_bf16(cfg):
     return _fused_operator_forms(cfg, "default")
 
 
+def blockdiag_group_operator(L: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Group g per-element 16×16 operators into (e/g, g*16, g*16)
+    block-diagonal tiles.  With g=8 each tile is exactly one (128, 128)
+    MXU block — the apply becomes full-tile batched matmuls instead of
+    5400 tiny 16-row ones (measured at production: the plain batched
+    einsum runs at ~2% MXU / 198 GB/s, bound by neither — per-tiny-matmul
+    overhead; full tiles trade 8× redundant zero-FLOPs for full systolic
+    occupancy, the same trade blockdiag_operator makes globally)."""
+    e, npts, _ = L.shape
+    eg = e // g
+    lg = L.reshape(eg, g, npts, npts)
+    eye = jnp.eye(g, dtype=L.dtype)
+    bd = jnp.einsum("bgop,gh->bgohp", lg, eye)
+    return bd.reshape(eg, g * npts, g * npts)
+
+
+def apply_operator_grouped(Lbd: jnp.ndarray, q_lane: jnp.ndarray,
+                           precision="high") -> jnp.ndarray:
+    eg, gn, _ = Lbd.shape
+    ncol = q_lane.shape[-1]
+    qg = q_lane.reshape(eg, gn, ncol)
+    out = jnp.einsum("bop,bpc->boc", Lbd, qg,
+                     preferred_element_type=q_lane.dtype,
+                     precision=precision)
+    return out.reshape(q_lane.shape)
+
+
+@register(
+    "biharmonic",
+    "fused_operator_bd8",
+    "8-element block-diagonal operator apply: each matmul is one full "
+    "(128,128)x(128,ncol) MXU tile (8x zero-FLOP redundancy for full "
+    "systolic occupancy; the production-scale apply form)",
+)
+def make_fused_operator_bd8(cfg):
+    rr = cfg.np_dtype(cfg.rrearth)
+    g = 8
+    while cfg.nelemd % g:
+        g -= 1
+
+    def _build(data):
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        return blockdiag_group_operator(L, g)
+
+    @jax.jit
+    def prepare(data: BiharmonicData):
+        return (_build(data),)
+
+    @jax.jit
+    def step(aux, data: BiharmonicData) -> jnp.ndarray:
+        (lbd,) = aux
+        out = apply_operator_grouped(lbd, to_lane_layout(data.qtens))
+        return from_lane_layout(out, cfg)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
+        lbd = _build(data)
+
+        def body(q, _):
+            return apply_operator_grouped(lbd, q), None
+
+        out, _ = lax.scan(body, to_lane_layout(data.qtens), None, length=n)
+        return from_lane_layout(out, cfg)
+
+    return {"prepare": prepare, "step": step, "loop": loop}
+
+
 def make_fused_operator_prebuilt(cfg, blockdiag: bool = False):
     """Two-phase form for benchmarking: setup() builds L once (analog of the
     reference's untimed data staging), step applies it."""
