@@ -195,3 +195,63 @@ def make_fused_dss_f32(cfg):
 )
 def make_fused_dss_bf16(cfg):
     return _fused_dss_forms(cfg, "default")
+
+
+@register(
+    "biharmonic_dss",
+    "fused_operator_bd8",
+    "two grouped block-diagonal (full-MXU-tile) operator applications with "
+    "the DSS assembly between — the production apply form (see "
+    "operator.blockdiag_group_operator)",
+)
+def make_fused_dss_bd8(cfg):
+    from cdk_tpu.kernels.biharmonic.operator import (
+        apply_operator_grouped,
+        blockdiag_group_operator,
+        build_element_operator,
+    )
+
+    rr = cfg.np_dtype(cfg.rrearth)
+    npg = cfg.np_gll
+    g = 8
+    while cfg.nelemd % g:
+        g -= 1
+
+    @jax.jit
+    def prepare(data: BiharmonicData):
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        return (blockdiag_group_operator(L, g),
+                dss_weights(data.spheremp))
+
+    @jax.jit
+    def step(aux, data: BiharmonicData) -> jnp.ndarray:
+        lbd, w = aux
+        q = to_lane_layout(data.qtens)
+        s = apply_operator_grouped(lbd, q)
+        s = dss_ring_lane(s, w, npg)
+        return from_lane_layout(apply_operator_grouped(lbd, s), cfg)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
+        from cdk_tpu.kernels.biharmonic.operator import (
+            blockdiag_group_operator as bdg,
+            build_element_operator as beo,
+        )
+
+        L = beo(data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr)
+        lbd = bdg(L, g)
+        w = dss_weights(data.spheremp)
+
+        def body(q, _):
+            s = apply_operator_grouped(lbd, q)
+            return apply_operator_grouped(lbd, dss_ring_lane(s, w, npg)), None
+
+        out, _ = jax.lax.scan(body, to_lane_layout(data.qtens), None,
+                              length=n)
+        return from_lane_layout(out, cfg)
+
+    return {"prepare": prepare, "step": step, "loop": loop}
