@@ -220,14 +220,7 @@ def apply_operator_grouped(Lbd: jnp.ndarray, q_lane: jnp.ndarray,
     return out.reshape(q_lane.shape)
 
 
-@register(
-    "biharmonic",
-    "fused_operator_bd8",
-    "8-element block-diagonal operator apply: each matmul is one full "
-    "(128,128)x(128,ncol) MXU tile (8x zero-FLOP redundancy for full "
-    "systolic occupancy; the production-scale apply form)",
-)
-def make_fused_operator_bd8(cfg):
+def _bd8_forms(cfg, precision: str):
     rr = cfg.np_dtype(cfg.rrearth)
     g = 8
     while cfg.nelemd % g:
@@ -246,20 +239,60 @@ def make_fused_operator_bd8(cfg):
     @jax.jit
     def step(aux, data: BiharmonicData) -> jnp.ndarray:
         (lbd,) = aux
-        out = apply_operator_grouped(lbd, to_lane_layout(data.qtens))
+        out = apply_operator_grouped(lbd, to_lane_layout(data.qtens),
+                                     precision=precision)
         return from_lane_layout(out, cfg)
 
     @functools.partial(jax.jit, static_argnames="n")
     def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
         lbd = _build(data)
+        eg, gn, _ = lbd.shape
+        q_lane = to_lane_layout(data.qtens)
+        ncol = q_lane.shape[-1]
 
-        def body(q, _):
-            return apply_operator_grouped(lbd, q), None
+        # carry the scan state in the grouped (e/g, g*16, ncol) layout so
+        # the body is a pure batched matmul: reshaping to/from the
+        # per-element (e, 16, ncol) layout inside the body forces a
+        # physical relayout of the whole tracer field every step (the
+        # (16-sublane vs 128-row) tilings differ), which measured as 2.5x
+        # the kernel's pure-traffic bound
+        def body(qg, _):
+            out = jnp.einsum("bop,bpc->boc", lbd, qg,
+                             preferred_element_type=qg.dtype,
+                             precision=precision)
+            return out, None
 
-        out, _ = lax.scan(body, to_lane_layout(data.qtens), None, length=n)
-        return from_lane_layout(out, cfg)
+        qg0 = q_lane.reshape(eg, gn, ncol)
+        out, _ = lax.scan(body, qg0, None, length=n)
+        return from_lane_layout(out.reshape(q_lane.shape), cfg)
 
     return {"prepare": prepare, "step": step, "loop": loop}
+
+
+@register(
+    "biharmonic",
+    "fused_operator_bd8",
+    "8-element block-diagonal operator apply: each matmul is one full "
+    "(128,128)x(128,ncol) MXU tile (8x zero-FLOP redundancy for full "
+    "systolic occupancy; the production-scale apply form)",
+)
+def make_fused_operator_bd8(cfg):
+    return _bd8_forms(cfg, "high")
+
+
+@register(
+    "biharmonic",
+    "fused_operator_bd8_bf16",
+    "grouped full-tile apply in single bf16 MXU passes — measured NULL "
+    "result at production (1.555 ms, == f32 'high'): bd8 is "
+    "bandwidth-bound at ~350 GB/s effective, not MXU-pass-bound, so "
+    "cutting passes 3x changes nothing; kept as the recorded design point",
+    supports_f64=False,
+    fast_math=True,
+    experimental=True,
+)
+def make_fused_operator_bd8_bf16(cfg):
+    return _bd8_forms(cfg, "default")
 
 
 def make_fused_operator_prebuilt(cfg, blockdiag: bool = False):
