@@ -148,6 +148,22 @@ def test_fused_operator_loop_matches_chained_steps(small_data):
     assert rel_l2(np.asarray(out_loop), np.asarray(out)) < 1e-13
 
 
+def test_fused_operator_bd8_loop_matches_chained_steps(small_data):
+    """bd8's grouped-carry loop equals n chained step() calls (the timed
+    loop path carries the scan state in the grouped layout — a loop bug
+    would otherwise be invisible to the step-based verification)."""
+    import dataclasses
+
+    made = operator.make_fused_operator_bd8(SMALL)
+    prepare, step, loop = made["prepare"], made["step"], made["loop"]
+    aux = prepare(small_data)
+    d = small_data
+    for _ in range(3):
+        d = dataclasses.replace(d, qtens=step(aux, d))
+    out_loop = loop(small_data, 3)
+    assert rel_l2(np.asarray(out_loop), np.asarray(d.qtens)) < 1e-13
+
+
 def test_fused_operator_pallas_matches_reference(small_data, small_oracle):
     step = _step(SMALL, 'fused_operator_pallas', small_data)
     out = np.asarray(step(small_data))
