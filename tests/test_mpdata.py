@@ -341,6 +341,74 @@ def test_pallas_packed_parity_and_loop():
                                    rtol=0, atol=1e-12)
 
 
+def test_pallas_resident_parity_and_inkernel_loop():
+    """VMEM-resident variant (time loop inside the Pallas body): single
+    step and the in-kernel n-step loop must match chained reference steps
+    exactly — the loop placement must not change a single bit of math."""
+    from dataclasses import replace
+
+    import numpy as np
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    for kw in [dict(nslices=4, nx=8, nz=12), dict(nslices=2, nx=6, nz=58)]:
+        cfg = with_overrides(MpdataConfig(), **kw)
+        data = problem.init_data(cfg)
+        ref_step = reference.make_reference(cfg)
+        step2, aux, loop = _materialize(get("mpdata", "pallas_resident"),
+                                        cfg, data)
+        f_r, flux_r = ref_step(data)
+        f_o, flux_o = step2(aux, data)
+        np.testing.assert_allclose(np.asarray(f_o), np.asarray(f_r),
+                                   rtol=0, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(flux_o), np.asarray(flux_r),
+                                   rtol=1e-13)
+        d = data
+        for _ in range(5):
+            f_r, flux_r = ref_step(d)
+            d = replace(d, f=f_r, flux=flux_r)
+        f_l, flux_l = loop(data, 5)
+        np.testing.assert_allclose(np.asarray(f_l), np.asarray(f_r),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(flux_l), np.asarray(flux_r),
+                                   rtol=1e-12)
+
+
+def test_pallas_hoisted_parity():
+    """Hoisted-invariant resident kernel vs reference: the coefficient
+    pre-folding reassociates a couple of adds/muls (~1 ulp/step at f64),
+    so the gate is slightly above the bit-exact variants' but still far
+    below any physical tolerance."""
+    from dataclasses import replace
+
+    import numpy as np
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    for kw in [dict(nslices=4, nx=8, nz=12), dict(nslices=2, nx=6, nz=58),
+               dict(nslices=6, nx=5, nz=9)]:
+        cfg = with_overrides(MpdataConfig(), **kw)
+        data = problem.init_data(cfg)
+        ref_step = reference.make_reference(cfg)
+        step2, aux, loop = _materialize(get("mpdata", "pallas_hoisted"),
+                                        cfg, data)
+        f_r, flux_r = ref_step(data)
+        f_o, flux_o = step2(aux, data)
+        np.testing.assert_allclose(np.asarray(f_o), np.asarray(f_r),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(flux_o), np.asarray(flux_r),
+                                   rtol=1e-12)
+        d = data
+        for _ in range(5):
+            f_r, flux_r = ref_step(d)
+            d = replace(d, f=f_r, flux=flux_r)
+        f_l, flux_l = loop(data, 5)
+        np.testing.assert_allclose(np.asarray(f_l), np.asarray(f_r),
+                                   rtol=0, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(flux_l), np.asarray(flux_r),
+                                   rtol=1e-11)
+
+
 def test_pallas_packed_rejects_bad_geometry():
     import pytest as _pytest
 
