@@ -84,9 +84,15 @@ def make_invariants(u, w, rho, rhow, adz, kspan, nzm, nx):
     exactly) reassociates a couple of additions — a ~1 ulp/step
     perturbation vs the reference ordering (measured ~1e-15 rel at f64,
     ~1e-7 at f32), far inside every verification gate."""
-    from cdk_tpu.kernels.mpdata.pallas_packed import _kbp, _kcp, _lane_iota
+    from cdk_tpu.kernels.mpdata.pallas_packed import _kbp, _kcp
 
-    lane = _lane_iota()
+    # rank-agnostic: u is (block, X, 2*SEG) in the slice-major layout or
+    # (block, X, 8, 2*SEG) in the x-major layout (pallas_xmajor); the 2-D
+    # fields (rho, ...) carry one fewer X axis and are expanded at X.
+    nd = u.ndim
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1,) * (nd - 1) + (2 * SEG,),
+                                    nd - 1)
+    bx = lambda a: jnp.expand_dims(a, 1)  # 2-D field -> broadcast over X
     zk = lane % SEG
     m_z0 = zk == 0
     m_kc = zk == nzm - 1
@@ -95,11 +101,11 @@ def make_invariants(u, w, rho, rhow, adz, kspan, nzm, nx):
     kb = lambda a: _kbp(a, m_z0)
     kc = lambda a: _kcp(a, m_kc)
 
-    irho = (1.0 / rho)[:, None, :]
-    iadz = (1.0 / adz)[:, None, :]
-    dd = 2.0 / kspan[None] / adz[:, None, :]
-    irhow = (1.0 / (rhow * adz))[:, None, :]
-    rho_b = rho[:, None, :]
+    irho = bx(1.0 / rho)
+    iadz = bx(1.0 / adz)
+    dd = 2.0 / kspan[None] / bx(adz)
+    irhow = bx(1.0 / (rhow * adz))
+    rho_b = bx(rho)
 
     up = jnp.maximum(0.0, u)
     un = -jnp.minimum(0.0, u)
@@ -126,6 +132,7 @@ def make_invariants(u, w, rho, rhow, adz, kspan, nzm, nx):
 
     return dict(
         m_z0=m_z0, m_kc=m_kc, valid=valid, valid_f=valid_f,
+        m_wzero=m_z0 | ~valid,
         irho=irho, iadz=iadz, rho_b=rho_b,
         up=up, un=un, wp=wp, wn=wn,
         coefA=coefA, acrossA=acrossA, coefB=coefB, acrossB=acrossB,
@@ -174,25 +181,25 @@ def advect_packed_hoisted(f, flux_in, inv, nx, nzm):
         [f[:, :1], f[:, 1:nx + 5] - upd, f[:, nx + 5:]], axis=1
     )
 
-    # -- stage 4: antidiffusive pseudo-velocities (coefficients hoisted)
+    # -- stage 4: antidiffusive pseudo-velocities (coefficients hoisted).
+    # uuu2/www2/uuu3/www3 live in BODY coordinates from here on: their
+    # full-array concat edges (uuu[:, :1] etc.) are never read by stages
+    # 5-6, so the per-step edge concats of the packed kernel are dropped.
+    # U2[:, j-1] == uuu2[:, j] (j in 1..nx+3); W2[:, j-1] == www2[:, j]
+    # (j in 1..nx+2).
     a_fib = f1[:, 1:nx + 4]
     a_fi = f1[:, 2:nx + 5]
     tmpA = a_fib + a_fi
-    uuu2_body = inv["coefA"] * (a_fi - a_fib) - inv["acrossA"] * (
+    U2 = inv["coefA"] * (a_fi - a_fib) - inv["acrossA"] * (
         kc(tmpA) - kb(tmpA)
-    )
-    uuu2 = jnp.concatenate(
-        [uuu[:, :1], uuu2_body, uuu[:, nx + 4:]], axis=1
     )
     b_fi = f1[:, 2:nx + 4]
     dfc = f1[:, 3:nx + 5] - f1[:, 1:nx + 3]
-    www2_body = inv["coefB"] * (b_fi - kb(b_fi)) - inv["acrossB"] * (
+    W2 = inv["coefB"] * (b_fi - kb(b_fi)) - inv["acrossB"] * (
         kb(dfc) + dfc
     )
-    www2_z = jnp.concatenate(
-        [www[:, :1], www2_body, www[:, nx + 3:]], axis=1
-    )
-    www2 = jnp.where(m_z0 | ~valid, jnp.asarray(0.0, f.dtype), www2_z)
+    # bottom BC www(:,:,1)=0 + keep pad lanes at 0
+    W2 = jnp.where(inv["m_wzero"], jnp.asarray(0.0, f.dtype), W2)
 
     # -- stage 5a: second extrema
     f1_c = f1[:, 2:nx + 4]
@@ -209,10 +216,10 @@ def advect_packed_hoisted(f, flux_in, inv, nx, nzm):
         jnp.minimum(f1_c, mn),
     )
 
-    # -- stage 5b: in/out flux ratios
-    r_ui = uuu2[:, 1:nx + 3]
-    r_uic = uuu2[:, 2:nx + 4]
-    r_wi = www2[:, 1:nx + 3]
+    # -- stage 5b: in/out flux ratios (U2/W2 body coords: full j-1)
+    r_ui = U2[:, 0:nx + 2]
+    r_uic = U2[:, 1:nx + 3]
+    r_wi = W2[:, 0:nx + 2]
     r_wkc = kc(r_wi)
     mxr = rho_b * (mx - f1_c) / (
         _pn(r_uic) + _pp(r_ui) + iadz * (_pn(r_wkc) + _pp(r_wi)) + EPS
@@ -221,31 +228,26 @@ def advect_packed_hoisted(f, flux_in, inv, nx, nzm):
         _pp(r_uic) + _pn(r_ui) + iadz * (_pp(r_wkc) + _pn(r_wi)) + EPS
     )
 
-    # -- stage 5c: limit fluxes
-    l_u = uuu2[:, 2:nx + 3]
-    uuu3_body = (
+    # -- stage 5c: limit fluxes (U3[:, j-2] == uuu3[:, j], j in 2..nx+2;
+    #    W3[:, j-2] == www3[:, j], j in 2..nx+1)
+    l_u = U2[:, 1:nx + 2]
+    U3 = (
         _pp(l_u) * _min3(one, mxr[:, 1:nx + 2], mnr[:, 0:nx + 1])
         - _pn(l_u) * _min3(one, mxr[:, 0:nx + 1], mnr[:, 1:nx + 2])
     )
-    uuu3 = jnp.concatenate(
-        [uuu2[:, :2], uuu3_body, uuu2[:, nx + 3:]], axis=1
-    )
-    l_w = www2[:, 2:nx + 2]
+    l_w = W2[:, 1:nx + 1]
     mx_i = mxr[:, 1:nx + 1]
     mn_i = mnr[:, 1:nx + 1]
-    www3_body = _pp(l_w) * _min3(one, mx_i, kb(mn_i)) - _pn(l_w) * _min3(
+    W3 = _pp(l_w) * _min3(one, mx_i, kb(mn_i)) - _pn(l_w) * _min3(
         one, kb(mx_i), mn_i
     )
-    www3 = jnp.concatenate(
-        [www2[:, :2], www3_body, www2[:, nx + 2:]], axis=1
-    )
-    flux = flux + jnp.sum(www3_body, axis=1)
+    flux = flux + jnp.sum(W3, axis=1)
 
     # -- stage 6: final update
     f6 = f1[:, 3:nx + 3]
     upd6 = (
-        uuu3[:, 3:nx + 3] - uuu3[:, 2:nx + 2]
-        + (_shl(www3[:, 2:nx + 2]) - www3[:, 2:nx + 2]) * iadz
+        U3[:, 1:nx + 1] - U3[:, 0:nx]
+        + (_shl(W3) - W3) * iadz
     ) * irho
     f_out = jnp.concatenate(
         [f1[:, :3], jnp.maximum(0.0, f6 - upd6) * valid_f, f1[:, nx + 3:]],

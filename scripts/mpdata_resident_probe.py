@@ -49,14 +49,17 @@ def resident_loop(cfg, b, hoisted):
     return loop
 
 
-def run_case(tag, cfg, with_packed=True):
+def run_case(tag, cfg, with_packed=True, hoist_opts=(False, True),
+             blocks=(8, 16)):
+    # block=32 hoisted exceeds the 16 MB scoped-VMEM limit (17.42M) and
+    # CRASHES the compile helper — keep it out of sweeps.
     data = spec.init(cfg)
     if with_packed:
         sl = slope(pp._make_packed_forms(cfg)["loop"], data)
         print(f"{tag} packed(per-step): {sl*1e6:.2f} us/step", flush=True)
     s2 = cfg.nslices // 2
-    for hoisted in (False, True):
-        for b in (8, 16, 32):
+    for hoisted in hoist_opts:
+        for b in blocks:
             if s2 % b:
                 continue
             sl = slope(resident_loop(cfg, b, hoisted), data)
@@ -65,6 +68,32 @@ def run_case(tag, cfg, with_packed=True):
                   flush=True)
 
 
-run_case("production(8192sl)", production_config("mpdata"))
-run_case("shipped(48sl)", MpdataConfig(dtype="float32"))
+def xmajor_loop(cfg, b):
+    from cdk_tpu.kernels.mpdata import pallas_xmajor as px
+    nzm, nz, nsl = cfg.nzm, cfg.nz, cfg.nslices
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(data, n):
+        kspan = pp._packed_kspan(nzm, data.f.dtype)
+        f_p, flux_p, (u_p, w_p, rho_p, rhow_p, adz_p) = px.pack_data_x(data)
+        f_o, flux_o = px._run_xmajor(
+            f_p, u_p, w_p, rho_p, rhow_p, adz_p, flux_p, kspan,
+            nzm, n, b, False)
+        return px.unpack3x(f_o, nsl, nzm), px.unpack2x(flux_o, nsl, nz)
+
+    return loop
+
+
+def run_xmajor(tag, cfg, blocks=(1, 2)):
+    data = spec.init(cfg)
+    g = (cfg.nslices + 15) // 16
+    for b in blocks:
+        if g % b:
+            continue
+        sl = slope(xmajor_loop(cfg, b), data)
+        print(f"{tag} xmajor block={b}: {sl*1e6:.2f} us/step", flush=True)
+
+
+run_xmajor("production(8192sl)", production_config("mpdata"))
+run_xmajor("shipped(48sl)", MpdataConfig(dtype="float32"), blocks=(1, 3))
 print("DONE", flush=True)

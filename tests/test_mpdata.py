@@ -409,6 +409,42 @@ def test_pallas_hoisted_parity():
                                    rtol=1e-11)
 
 
+def test_pallas_xmajor_parity():
+    """x-major layout (x on a free leading axis, 16 slices per vreg
+    tile): single step + in-kernel loop vs chained reference steps,
+    including slice counts that need padding to a multiple of 16."""
+    from dataclasses import replace
+
+    import numpy as np
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    for kw in [dict(nslices=4, nx=8, nz=12),    # padded 4 -> 16
+               dict(nslices=16, nx=6, nz=58),   # exact multiple
+               dict(nslices=6, nx=5, nz=9),     # padded, odd nzm
+               dict(nslices=48, nx=32, nz=58)]: # shipped geometry
+        cfg = with_overrides(MpdataConfig(), **kw)
+        data = problem.init_data(cfg)
+        ref_step = reference.make_reference(cfg)
+        step2, aux, loop = _materialize(get("mpdata", "pallas_xmajor"),
+                                        cfg, data)
+        f_r, flux_r = ref_step(data)
+        f_o, flux_o = step2(aux, data)
+        np.testing.assert_allclose(np.asarray(f_o), np.asarray(f_r),
+                                   rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(flux_o), np.asarray(flux_r),
+                                   rtol=1e-12)
+        d = data
+        for _ in range(4):
+            f_r, flux_r = ref_step(d)
+            d = replace(d, f=f_r, flux=flux_r)
+        f_l, flux_l = loop(data, 4)
+        np.testing.assert_allclose(np.asarray(f_l), np.asarray(f_r),
+                                   rtol=0, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(flux_l), np.asarray(flux_r),
+                                   rtol=1e-11)
+
+
 def test_pallas_packed_rejects_bad_geometry():
     import pytest as _pytest
 
