@@ -222,14 +222,15 @@ def _exchange(x, h, axis_name, n):
 
 
 def _resolve_kernel(cfg, kernel):
-    """AUTO (None) -> the packed-lanes Pallas core when the geometry
-    allows (even nslices, nz <= 64 — pallas_packed.py), else the
-    z-on-lanes Pallas core."""
+    """AUTO (None) -> the x-major Pallas core when the geometry allows
+    (nz <= 64 — pallas_xmajor.py; slice counts pad to a multiple of 16),
+    else the z-on-lanes Pallas core.  "packed" (slice-major two-per-
+    register) stays reachable by name."""
     if kernel is not None:
         return kernel
     from cdk_tpu.kernels.mpdata.pallas_packed import SEG
 
-    return "packed" if (cfg.nslices % 2 == 0 and cfg.nz <= SEG) else "pallas"
+    return "xmajor" if cfg.nz <= SEG else "pallas"
 
 
 def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
@@ -251,13 +252,17 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
     from cdk_tpu.kernels.mpdata.pallas_masked import (
         masked_step_pallas,
         masked_step_pallas_packed,
+        masked_step_xmajor,
     )
     from cdk_tpu.kernels.mpdata import pallas_packed as pk
+    from cdk_tpu.kernels.mpdata import pallas_xmajor as px
 
     kernel = _resolve_kernel(cfg, kernel)
     use_pallas = kernel == "pallas"
     use_packed = kernel == "packed"
+    use_xmajor = kernel == "xmajor"
     nzm_l = cfg.nzm
+    nsl = cfg.nslices
     interpret = pallas_interpret()
     axis = mesh.axis_names[0]
     nparts = mesh.devices.size
@@ -266,7 +271,8 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
     chunk = -(-xg // nparts)  # ceil: pad global grid to nparts*chunk
     xp = chunk * nparts
 
-    fspec = P(None, axis, None)
+    fspec = (P(None, axis, None, None) if use_xmajor
+             else P(None, axis, None))
 
     def shard_inputs(data: MpdataData):
         f, u_g, w_g = to_collocated(data)
@@ -278,6 +284,17 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
         dev_put = lambda a, spec: jax.device_put(
             a, jax.sharding.NamedSharding(mesh, spec)
         )
+        if use_xmajor:
+            f_s = dev_put(px.pack3x(padx(f)), fspec)
+            u_s = dev_put(px.pack3x(padx(u_g)), fspec)
+            w_s = dev_put(px.pack3x(padx(w_g)), fspec)
+            aux = tuple(
+                dev_put(a, P())
+                for a in (px.pack2x(data.rho, pad=1.0),
+                          px.pack2x(data.rhow, pad=1.0),
+                          px.pack2x(data.adz, pad=1.0), data.flux)
+            )
+            return f_s, u_s, w_s, aux
         if use_packed:
             f_s = dev_put(pk.pack3(padx(f)), fspec)
             u_s = dev_put(pk.pack3(padx(u_g)), fspec)
@@ -315,7 +332,14 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
         me = lax.axis_index(axis)
         xl = chunk + 2 * halo
         gi0 = me * chunk - 2 - halo
-        if use_packed:
+        if use_xmajor:
+            f_out_ext, flux_part = masked_step_xmajor(
+                f_ext, u_ext, w_ext, rho, rhow, adz, gi0,
+                nx=nx, nzm=nzm, owned_lo=halo, owned_hi=halo + chunk,
+                interpret=interpret,
+            )
+            flux_part = px.unpack2x(flux_part, nsl, nzm)
+        elif use_packed:
             f_out_ext, flux_part = masked_step_pallas_packed(
                 f_ext, u_ext, w_ext, rho, rhow, adz, gi0,
                 nx=nx, nzm=nzm, owned_lo=halo, owned_hi=halo + chunk,
@@ -342,6 +366,10 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
 
     def gather_f(f_s):
         """Collect the sharded f back to the reference global layout."""
+        if use_xmajor:
+            return np.asarray(
+                px.unpack3x(jnp.asarray(f_s), nsl, nzm_l)
+            )[:, :xg]
         if use_packed:
             return np.asarray(pk.unpack3(jnp.asarray(f_s), nzm_l))[:, :xg]
         return np.asarray(f_s)[:, :xg]
@@ -379,13 +407,17 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO,
     from cdk_tpu.kernels.mpdata.pallas_masked import (
         masked_step_pallas,
         masked_step_pallas_packed,
+        masked_step_xmajor,
     )
     from cdk_tpu.kernels.mpdata import pallas_packed as pk
+    from cdk_tpu.kernels.mpdata import pallas_xmajor as px
 
     kernel = _resolve_kernel(cfg, kernel)
     use_pallas = kernel == "pallas"
     use_packed = kernel == "packed"
+    use_xmajor = kernel == "xmajor"
     nzm_l = cfg.nzm
+    nsl = cfg.nslices
     interpret = pallas_interpret()
     axis = mesh.axis_names[0]
     nparts = mesh.devices.size
@@ -398,7 +430,8 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO,
         raise ValueError(
             f"chunk={chunk} too small for overlap (need >= {need})"
         )
-    fspec = P(None, axis, None)
+    fspec = (P(None, axis, None, None) if use_xmajor
+             else P(None, axis, None))
 
     @jax.jit
     @functools.partial(
@@ -416,6 +449,13 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO,
 
         def core(f_, u_, w_, gi0_, lo, hi):
             """Masked core on one column window, owned outputs [lo, hi)."""
+            if use_xmajor:
+                f_o, flux_p = masked_step_xmajor(
+                    f_, u_, w_, rho, rhow, adz, gi0_,
+                    nx=nx, nzm=nzm, owned_lo=lo, owned_hi=hi,
+                    interpret=interpret,
+                )
+                return f_o, px.unpack2x(flux_p, nsl, nzm)
             if use_packed:
                 f_o, flux_p = masked_step_pallas_packed(
                     f_, u_, w_, rho, rhow, adz, gi0_,
@@ -475,12 +515,96 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO,
     return step
 
 
+def _make_dist_kloop(cfg, mesh: Mesh, kstep: int, kernel: str | None):
+    """Communication-avoiding dist loop (see make_dist_loop docstring).
+    x-major only: the deep-halo window rides the same masked-global
+    validity argument regardless of where the window is cut."""
+    from cdk_tpu.core.platform import pallas_interpret
+    from cdk_tpu.kernels.mpdata.pallas_masked import masked_kloop_xmajor
+    from cdk_tpu.kernels.mpdata import pallas_xmajor as px
+
+    kernel = _resolve_kernel(cfg, kernel)
+    if kernel != "xmajor":
+        raise ValueError(f"kstep > 1 requires the x-major kernel "
+                         f"(resolved {kernel!r})")
+    depth = 3
+    h = depth * kstep
+    nzm = cfg.nzm
+    nsl = cfg.nslices
+    interpret = pallas_interpret()
+    axis = mesh.axis_names[0]
+    nparts = mesh.devices.size
+    nx = cfg.nx
+    xg = nx + 6
+    chunk = -(-xg // nparts)
+    if nparts > 1 and chunk < h:
+        raise ValueError(
+            f"chunk={chunk} < deep halo {h}: lower kstep (={kstep}) or "
+            f"devices"
+        )
+    fspec = P(None, axis, None, None)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(f_s, u_s, w_s, aux, n: int):
+        assert n % kstep == 0, f"n={n} not a multiple of kstep={kstep}"
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(fspec, fspec, fspec, (P(), P(), P(), P())),
+            out_specs=(fspec, P()),
+            check_vma=False,
+        )
+        def run(f_loc, u_loc, w_loc, aux):
+            rho, rhow, adz, flux_in = aux
+            me = lax.axis_index(axis)
+            gi0 = me * chunk - 2 - h
+            # u/w are step-invariant: exchange deep halos ONCE per run
+            u_ext = _exchange(u_loc, h, axis, nparts)
+            w_ext = _exchange(w_loc, h, axis, nparts)
+
+            def body(carry, _):
+                f_l, _ = carry
+                f_ext = _exchange(f_l, h, axis, nparts)
+                f_o_ext, flux_p = masked_kloop_xmajor(
+                    f_ext, u_ext, w_ext, rho, rhow, adz, gi0,
+                    nx=nx, nzm=nzm, owned_lo=h, owned_hi=h + chunk,
+                    nsteps=kstep, interpret=interpret,
+                )
+                f_o = f_o_ext[:, h:h + chunk]
+                flux = lax.psum(px.unpack2x(flux_p, nsl, nzm), axis)
+                return (f_o, flux), None
+
+            (f_o, flux), _ = jax.lax.scan(
+                body, (f_loc, flux_in[:, :nzm]), None, length=n // kstep
+            )
+            flux_out = jnp.concatenate([flux, flux_in[:, nzm:]], axis=-1)
+            return f_o, flux_out
+
+        return run(f_s, u_s, w_s, aux)
+
+    return loop
+
+
 def make_dist_loop(cfg, mesh: Mesh, halo: int = HALO, overlap: bool = False,
-                   kernel: str | None = None):
+                   kernel: str | None = None, kstep: int = 1):
     """n-step distributed integration under ONE jit: `lax.scan` over the
     halo-exchange step, so the whole multi-step run (exchanges included)
     compiles to a single device-side loop — the production integration
-    driver shape (one dispatch per run, not per step)."""
+    driver shape (one dispatch per run, not per step).
+
+    kstep > 1 (x-major kernel only) builds the COMMUNICATION-AVOIDING
+    form: each scan iteration exchanges a depth*kstep halo once, then
+    runs kstep masked steps INSIDE one Pallas kernel (invariants hoisted,
+    f iterated in VMEM).  Exactness: each masked application shrinks the
+    valid window by the stencil depth (3 columns) from the window edges,
+    so after kstep applications the owned chunk is still exact — the same
+    argument that fixes HALO=3 for the per-step form, applied k times.
+    Exchange count drops k-fold and u/w halos are exchanged once per RUN
+    (they are step-invariant); per-step DMA amortizes over the in-kernel
+    loop."""
+    if kstep > 1:
+        return _make_dist_kloop(cfg, mesh, kstep, kernel)
     if overlap:
         step = make_dist_step_overlap(cfg, mesh, halo, kernel=kernel)
     else:

@@ -34,7 +34,6 @@ from cdk_tpu.kernels.mpdata.pallas_packed import (
     SEG,
     _kbp,
     _kcp,
-    _lane_iota,
     _shl,
 )
 
@@ -72,8 +71,14 @@ def advect_scalar2d_masked_packed(f, u, w, rho, rhow, adz, gi, owned, nx,
         _pp,
     )
 
-    s2, X, _ = f.shape
-    lane = _lane_iota()
+    # rank-agnostic: f is (S2, X, 2*SEG) in the slice-major packed layout
+    # or (G, X, 8, 2*SEG) in the x-major layout (pallas_xmajor); 2-D
+    # fields carry one fewer X axis.
+    nd = f.ndim
+    X = f.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1,) * (nd - 1) + (2 * SEG,),
+                                    nd - 1)
+    bx = lambda a: jnp.expand_dims(a, 1)  # 2-D field -> broadcast over X
     zk = lane % SEG
     m_z0 = zk == 0
     m_kc = zk == nzm - 1
@@ -82,16 +87,16 @@ def advect_scalar2d_masked_packed(f, u, w, rho, rhow, adz, gi, owned, nx,
     kb = lambda a: _kbp(a, m_z0)
     kc = lambda a: _kcp(a, m_kc)
 
-    gim = jnp.reshape(gi, (1, X, 1))
-    ownedm = jnp.reshape(owned, (1, X, 1))
+    gim = jnp.reshape(gi, (1, X) + (1,) * (nd - 2))
+    ownedm = jnp.reshape(owned, (1, X) + (1,) * (nd - 2))
 
     def m(lo, hi):
         return (gim >= lo) & (gim <= hi)
 
-    irho = (1.0 / rho)[:, None, :]
-    iadz = (1.0 / adz)[:, None, :]
-    dd = 2.0 / kspan[None] / adz[:, None, :]
-    irhow = (1.0 / (rhow * adz))[:, None, :]
+    irho = bx(1.0 / rho)
+    iadz = bx(1.0 / adz)
+    dd = 2.0 / kspan[None] / bx(adz)
+    irhow = bx(1.0 / (rhow * adz))
     w_s = w * valid_f          # collocated w, top face + pads zeroed
     one = jnp.asarray(1.0, f.dtype)
     fmask = m(1, nx) & ownedm
@@ -143,7 +148,7 @@ def advect_scalar2d_masked_packed(f, u, w, rho, rhow, adz, gi, owned, nx,
     # stage 5b: in/out flux ratios
     ruuu2 = _xr(uuu2)
     wkc = kc(www2_k)
-    rho_b = rho[:, None, :]
+    rho_b = bx(rho)
     mxr = rho_b * (mx - f1) / (
         _pn(ruuu2) + _pp(uuu2) + iadz * (_pn(wkc) + _pp(www2_k)) + EPS
     )
@@ -279,3 +284,294 @@ def masked_step_pallas(f, u, w, rho, rhow, adz, gi0, *, nx, owned_lo,
         interpret=interpret,
     )(gi0_arr, kspan, f, u, w, rho, rhow, adz)
     return f_out, flux
+
+
+def _kernel_xmajor(gi0_ref, kspan_ref, f_ref, u_ref, w_ref, rho_ref,
+                   rhow_ref, adz_ref, fout_ref, flux_ref, *, nx, owned_lo,
+                   owned_hi, nzm):
+    X = f_ref.shape[1]
+    li = jax.lax.broadcasted_iota(jnp.int32, (X, 1), 0)
+    gi = gi0_ref[0, 0] + li
+    owned = (li >= owned_lo) & (li < owned_hi)
+    f_out, flux = advect_scalar2d_masked_packed(
+        f_ref[...], u_ref[...], w_ref[...], rho_ref[...], rhow_ref[...],
+        adz_ref[...], gi, owned, nx, kspan_ref[...], nzm,
+    )
+    fout_ref[...] = f_out
+    flux_ref[...] = flux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "nzm", "owned_lo", "owned_hi", "block",
+                     "interpret"),
+)
+def masked_step_xmajor(f, u, w, rho, rhow, adz, gi0, *, nx, nzm,
+                       owned_lo, owned_hi, block=None, interpret=False):
+    """x-major masked step on (G, X, 8, 2*SEG) collocated arrays
+    (pallas_xmajor layout: x on the free leading axis, 16 slices per vreg
+    tile — x-offset stencil slices cost zero sublane shuffles).
+    Returns (f_out x-major, flux_partial (G, 8, 2*SEG) x-major)."""
+    from cdk_tpu.kernels.mpdata.pallas_packed import _packed_kspan
+    from cdk_tpu.kernels.mpdata.pallas_xmajor import pick_block_x
+
+    g, X, _, _ = f.shape
+    b = block or pick_block_x(g)
+    b = min(b, g)
+    assert g % b == 0
+    kspan = _packed_kspan(nzm, f.dtype)
+    gi0_arr = jnp.reshape(jnp.asarray(gi0, jnp.int32), (1, 1))
+    blk4 = lambda a: pl.BlockSpec((b, a.shape[1], 8, 2 * SEG),
+                                  lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    blk3 = pl.BlockSpec((b, 8, 2 * SEG), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_xmajor, nx=nx, owned_lo=owned_lo,
+                          owned_hi=owned_hi, nzm=nzm),
+        out_shape=(
+            jax.ShapeDtypeStruct(f.shape, f.dtype),
+            jax.ShapeDtypeStruct((g, 8, 2 * SEG), f.dtype),
+        ),
+        grid=(g // b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2 * SEG), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            blk4(f), blk4(u), blk4(w), blk3, blk3, blk3,
+        ],
+        out_specs=(blk4(f), blk3),
+        interpret=interpret,
+    )(gi0_arr, kspan, f, u, w, rho, rhow, adz)
+
+
+# ------------------- hoisted masked step + K-step in-kernel loop --------
+def make_masked_invariants(u, w, rho, rhow, adz, kspan, gim, ownedm, nx,
+                           nzm):
+    """Step-invariant factors of the masked-global core (velocities,
+    densities, grid metrics, and ALL global-index masks are constant
+    across the reference's nIters loop).  Same folding as
+    pallas_resident.make_invariants, but for the collocated uniform-
+    stencil masked formulation; the gi-range masks are hoisted too.
+    Reassociation is ~1 ulp/step vs the unhoisted ordering (see
+    pallas_resident.make_invariants)."""
+    from cdk_tpu.dist.mpdata import _xl, _xr
+
+    nd = u.ndim
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1,) * (nd - 1) + (2 * SEG,),
+                                    nd - 1)
+    bx = lambda a: jnp.expand_dims(a, 1)
+    zk = lane % SEG
+    m_z0 = zk == 0
+    m_kc = zk == nzm - 1
+    valid = zk < nzm
+    valid_f = valid.astype(u.dtype)
+    kb = lambda a: _kbp(a, m_z0)
+    kc = lambda a: _kcp(a, m_kc)
+
+    def m(lo, hi):
+        return (gim >= lo) & (gim <= hi)
+
+    irho = bx(1.0 / rho)
+    iadz = bx(1.0 / adz)
+    dd = 2.0 / kspan[None] / bx(adz)
+    irhow = bx(1.0 / (rhow * adz))
+    rho_b = bx(rho)
+    w_s = w * valid_f
+
+    up = jnp.maximum(0.0, u)
+    un = -jnp.minimum(0.0, u)
+    wp = jnp.maximum(0.0, w_s)
+    wn = -jnp.minimum(0.0, w_s)
+
+    lw = _xl(w_s)
+    coefA = (jnp.abs(u) - u * u * irho) * 0.5
+    wsumA = lw + kc(lw) + w_s + kc(w_s)
+    acrossA = ((0.03125 * u) * wsumA) * dd * irho
+
+    ru = _xr(u)
+    coefB = (jnp.abs(w_s) - w_s * w_s * irhow) * 0.5
+    usumB = kb(u) + u + ru + kb(ru)
+    acrossB = ((0.03125 * w_s) * usumB) * irho
+
+    return dict(
+        m_z0=m_z0, m_kc=m_kc, valid_f=valid_f,
+        irho=irho, iadz=iadz, rho_b=rho_b,
+        up=up, un=un, wp=wp, wn=wn,
+        coefA=coefA, acrossA=acrossA, coefB=coefB, acrossB=acrossB,
+        fmask=m(1, nx) & ownedm,
+        m_upd=m(-1, nx + 2), m_uu2=m(0, nx + 2), m_ww2=m(0, nx + 1),
+        m_uu3=m(1, nx + 1), m_fin=m(1, nx),
+    )
+
+
+def advect_masked_hoisted(f, flux_unused, inv, nx):
+    """One masked-global MPDATA step with hoisted invariants; stage
+    structure mirrors advect_scalar2d_masked_packed exactly (same masks,
+    same pad hygiene), only invariant factors are pre-folded.  Works for
+    both the slice-major (S2, X, L) and x-major (G, X, 8, L) layouts.
+    Returns (f_out, flux_partial)."""
+    from cdk_tpu.dist.mpdata import EPS, _xl, _xr
+    from cdk_tpu.kernels.mpdata.reference import _min3, _pn, _pp
+
+    one = jnp.asarray(1.0, f.dtype)
+    zero = jnp.asarray(0.0, f.dtype)
+    m_z0, m_kc = inv["m_z0"], inv["m_kc"]
+    valid_f = inv["valid_f"]
+    irho, iadz, rho_b = inv["irho"], inv["iadz"], inv["rho_b"]
+    kb = lambda a: _kbp(a, m_z0)
+    kc = lambda a: _kcp(a, m_kc)
+
+    # stage 1: extrema
+    lf, rf = _xl(f), _xr(f)
+    mx = jnp.maximum(jnp.maximum(jnp.maximum(lf, rf),
+                                 jnp.maximum(kb(f), kc(f))), f)
+    mn = jnp.minimum(jnp.minimum(jnp.minimum(lf, rf),
+                                 jnp.minimum(kb(f), kc(f))), f)
+
+    # stage 2: upwind fluxes
+    uuu = inv["up"] * lf - inv["un"] * f
+    www_k = inv["wp"] * kb(f) - inv["wn"] * f
+    flux = jnp.sum(jnp.where(inv["fmask"], www_k, 0.0), axis=1)
+    www_kp1 = _shl(www_k)
+
+    # stage 3: upwind update
+    upd = (_xr(uuu) - uuu + (www_kp1 - www_k) * iadz) * irho
+    f1 = jnp.where(inv["m_upd"], f - upd, f)
+
+    # stage 4: antidiffusive velocities (coefficients hoisted)
+    lf1, rf1 = _xl(f1), _xr(f1)
+    tmpA = lf1 + f1
+    uuu2_b = inv["coefA"] * (f1 - lf1) - inv["acrossA"] * (
+        kc(tmpA) - kb(tmpA)
+    )
+    uuu2 = jnp.where(inv["m_uu2"], uuu2_b, uuu)
+    dfc = rf1 - lf1
+    www2_b = inv["coefB"] * (f1 - kb(f1)) - inv["acrossB"] * (
+        kb(dfc) + dfc
+    )
+    www2_k = jnp.where(inv["m_ww2"], www2_b, www_k)
+    www2_k = jnp.where(m_z0, zero, www2_k) * valid_f
+
+    # stage 5a: second extrema
+    mx = jnp.maximum(jnp.maximum(jnp.maximum(lf1, rf1),
+                                 jnp.maximum(kb(f1), kc(f1))),
+                     jnp.maximum(f1, mx))
+    mn = jnp.minimum(jnp.minimum(jnp.minimum(lf1, rf1),
+                                 jnp.minimum(kb(f1), kc(f1))),
+                     jnp.minimum(f1, mn))
+
+    # stage 5b: in/out flux ratios
+    ruuu2 = _xr(uuu2)
+    wkc = kc(www2_k)
+    mxr = rho_b * (mx - f1) / (
+        _pn(ruuu2) + _pp(uuu2) + iadz * (_pn(wkc) + _pp(www2_k)) + EPS
+    )
+    mnr = rho_b * (f1 - mn) / (
+        _pp(ruuu2) + _pn(uuu2) + iadz * (_pp(wkc) + _pn(www2_k)) + EPS
+    )
+
+    # stage 5c: limit fluxes
+    lmxr, lmnr = _xl(mxr), _xl(mnr)
+    uuu3 = jnp.where(
+        inv["m_uu3"],
+        _pp(uuu2) * _min3(one, mxr, lmnr) - _pn(uuu2) * _min3(one, lmxr, mnr),
+        uuu2,
+    )
+    www3_b = (_pp(www2_k) * _min3(one, mxr, kb(mnr))
+              - _pn(www2_k) * _min3(one, kb(mxr), mnr))
+    www3_k = jnp.where(inv["m_fin"], www3_b, www2_k) * valid_f
+    flux = flux + jnp.sum(jnp.where(inv["fmask"], www3_b * valid_f, 0.0),
+                          axis=1)
+
+    # stage 6: final update with positive clip
+    www3_kp1 = _shl(www3_k)
+    upd6 = (_xr(uuu3) - uuu3 + (www3_kp1 - www3_k) * iadz) * irho
+    f_out = jnp.where(inv["m_fin"], jnp.maximum(0.0, f1 - upd6),
+                      f1) * valid_f
+    return f_out, flux * valid_f[0]
+
+
+def _kernel_xmajor_kloop(gi0_ref, kspan_ref, f_ref, u_ref, w_ref, rho_ref,
+                         rhow_ref, adz_ref, fout_ref, flux_ref, *, nx,
+                         owned_lo, owned_hi, nzm, nsteps):
+    X = f_ref.shape[1]
+    li = jax.lax.broadcasted_iota(jnp.int32, (X, 1), 0)
+    gi = gi0_ref[0, 0] + li
+    owned = (li >= owned_lo) & (li < owned_hi)
+    nd = f_ref.ndim
+    gim = jnp.reshape(gi, (1, X) + (1,) * (nd - 2))
+    ownedm = jnp.reshape(owned, (1, X) + (1,) * (nd - 2))
+    inv = make_masked_invariants(u_ref[...], w_ref[...], rho_ref[...],
+                                 rhow_ref[...], adz_ref[...],
+                                 kspan_ref[...], gim, ownedm, nx, nzm)
+
+    def body(_, carry):
+        f_c, flux_c = carry
+        return advect_masked_hoisted(f_c, flux_c, inv, nx)
+
+    f0 = f_ref[...]
+    flux0 = jnp.zeros_like(f0[:, 0])
+    f_o, flux_o = jax.lax.fori_loop(0, nsteps, body, (f0, flux0))
+    fout_ref[...] = f_o
+    flux_ref[...] = flux_o
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "nzm", "owned_lo", "owned_hi", "nsteps",
+                     "block", "interpret"),
+)
+def masked_kloop_xmajor(f, u, w, rho, rhow, adz, gi0, *, nx, nzm,
+                        owned_lo, owned_hi, nsteps, block=None,
+                        interpret=False):
+    """K masked-global steps INSIDE one x-major Pallas kernel (hoisted
+    invariants computed once, then an in-kernel fori_loop) — the
+    communication-avoiding dist form: callers exchange a depth*K halo
+    once, run this, and keep the owned window, which stays exact because
+    each masked application shrinks validity by the stencil depth (3
+    columns) from the window edges only.
+
+    Returns (f_out extended — only [owned_lo, owned_hi) meaningful after
+    K steps — and the LAST step's flux partial (G, 8, 2*SEG)).
+
+    Measured (v5e, production size, 1-device mesh): k=4 -> 1398 us/step,
+    k=8 -> 1784 us/step vs 1168 us/step for the per-step x-major form —
+    at 1 device the deep halo is pure overcompute (~+2*depth*k columns),
+    so this form only pays off multi-chip when per-step exchange latency
+    exceeds that overcompute.  k=16's window exceeds the 16 MB scoped-
+    vmem limit at the default block (measured 16.14M) — pass a smaller
+    `block` or raise --xla_tpu_scoped_vmem_limit_kib for deeper k."""
+    from cdk_tpu.kernels.mpdata.pallas_packed import _packed_kspan
+    from cdk_tpu.kernels.mpdata.pallas_xmajor import pick_block_x
+
+    g = f.shape[0]
+    b = block or pick_block_x(g)
+    b = min(b, g)
+    assert g % b == 0
+    kspan = _packed_kspan(nzm, f.dtype)
+    gi0_arr = jnp.reshape(jnp.asarray(gi0, jnp.int32), (1, 1))
+    blk4 = lambda a: pl.BlockSpec((b, a.shape[1], 8, 2 * SEG),
+                                  lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    blk3 = pl.BlockSpec((b, 8, 2 * SEG), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_xmajor_kloop, nx=nx, owned_lo=owned_lo,
+                          owned_hi=owned_hi, nzm=nzm, nsteps=nsteps),
+        out_shape=(
+            jax.ShapeDtypeStruct(f.shape, f.dtype),
+            jax.ShapeDtypeStruct((g, 8, 2 * SEG), f.dtype),
+        ),
+        grid=(g // b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2 * SEG), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            blk4(f), blk4(u), blk4(w), blk3, blk3, blk3,
+        ],
+        out_specs=(blk4(f), blk3),
+        interpret=interpret,
+    )(gi0_arr, kspan, f, u, w, rho, rhow, adz)

@@ -74,7 +74,7 @@ def dist_mpdata(production: bool):
         MpdataConfig(), dtype="float32")
     m = meshmod.make_mesh(1)
     data = problem.init_data(cfg)
-    for kern in ("packed", "pallas", "jnp"):
+    for kern in ("xmajor", "packed", "pallas", "jnp"):
         # shard layout differs per kernel (packed travels packed)
         shard_inputs, _, _ = dist_mp.make_dist_step(cfg, m, kernel=kern)
         args = shard_inputs(data)
@@ -83,6 +83,30 @@ def dist_mpdata(production: bool):
                          args, n1=20, n2=120)
         pts = cfg.grid_points / sec
         print(f"[dist mpdata 1dev {kern}] {sec * 1e6:9.2f} us/step  "
+              f"{pts / 1e9:7.2f} G pts/s", flush=True)
+
+
+def dist_kloop(production: bool):
+    from cdk_tpu.core.config import MpdataConfig, production_config, \
+        with_overrides
+    from cdk_tpu.dist import mesh as meshmod, mpdata as dist_mp
+    from cdk_tpu.kernels.mpdata import problem
+
+    cfg = production_config("mpdata") if production else with_overrides(
+        MpdataConfig(), dtype="float32")
+    m = meshmod.make_mesh(1)
+    data = problem.init_data(cfg)
+    shard_inputs, _, _ = dist_mp.make_dist_step(cfg, m, kernel="xmajor")
+    args = shard_inputs(data)
+    # k=16's deep-halo window exceeds the 16 MB scoped-vmem limit on v5e
+    # (measured: 16.14M at the default block) — and its compile-helper
+    # crash wedges the tunnel; stay at k<=8 here.
+    for k in (4, 8):
+        loop = dist_mp.make_dist_loop(cfg, m, kernel="xmajor", kstep=k)
+        sec = _time_loop(lambda a0, a1, a2, a3, n: loop(a0, a1, a2, a3, n),
+                         args, n1=16, n2=80)
+        pts = cfg.grid_points / sec
+        print(f"[dist mpdata 1dev kloop k={k}] {sec * 1e6:9.2f} us/step  "
               f"{pts / 1e9:7.2f} G pts/s", flush=True)
 
 
@@ -164,6 +188,8 @@ def main(phase: str) -> int:
         mpdata_variant(True, "pallas_packed_bf16")
     elif phase == "dist_mpdata":
         dist_mpdata(True)
+    elif phase == "dist_kloop":
+        dist_kloop(True)
     elif phase == "dist_cke":
         dist_cke()
     elif phase == "dss":
