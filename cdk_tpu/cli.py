@@ -98,6 +98,9 @@ def main(argv=None) -> int:
     scalep.add_argument("--no-overlap", action="store_true")
     scalep.add_argument("--overlap-gain", action="store_true",
                         help="also measure serialized-vs-overlapped gain")
+    scalep.add_argument("--kstep", type=int, default=0,
+                        help="mpdata: also measure the communication-"
+                        "avoiding kstep loop vs the per-step loop")
 
     args = p.parse_args(argv)
 
@@ -178,6 +181,12 @@ def main(argv=None) -> int:
                         n_devices=devices[-1],
                         nx_per_device=args.nx_per_device,
                         n_steps=args.steps,
+                    )
+                if args.kstep:
+                    scaling.comm_avoid_gain_mpdata(
+                        n_devices=devices[-1],
+                        nx_per_device=args.nx_per_device,
+                        kstep=args.kstep, n_steps=args.steps,
                     )
             elif k == "biharmonic":
                 scaling.weak_scaling_biharmonic(

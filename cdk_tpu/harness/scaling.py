@@ -129,6 +129,56 @@ def overlap_gain_mpdata(
             "gain": gain}
 
 
+def comm_avoid_gain_mpdata(
+    n_devices: int = 8,
+    nx_per_device: int = 64,
+    kstep: int = 4,
+    n_steps: int = 16,
+    dtype: str = "float32",
+    quiet: bool = False,
+) -> dict:
+    """Per-step halo exchange vs the communication-avoiding kstep loop
+    (deep halo once per kstep in-kernel masked steps) at fixed size, both
+    as single-jit `make_dist_loop` scans.  On real multi-chip ICI this
+    measures the exchange-latency savings against the deep-halo
+    overcompute (~2*3*(kstep-1) extra columns/shard); on 1 device the
+    overcompute side alone is visible (measured 1168 -> 1398 us/step at
+    production, kstep=4 — results/tpu-v5e/round2-summary.txt)."""
+    import time
+
+    from cdk_tpu.kernels.mpdata import problem
+
+    say = (lambda *a: None) if quiet else print
+    n = min(n_devices, len(jax.devices()))
+    n_steps -= n_steps % kstep
+    cfg = with_overrides(MpdataConfig(), nx=nx_per_device * n, dtype=dtype)
+    m = meshmod.make_mesh(n)
+    shard_inputs, _, _ = dist_mpdata.make_dist_step(cfg, m, kernel="xmajor")
+    args = shard_inputs(problem.init_data(cfg))
+
+    def time_loop(loop):
+        fetch_sync(loop(*args, n_steps))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fetch_sync(loop(*args, n_steps))
+            best = min(best, (time.perf_counter() - t0) / n_steps)
+        return best
+
+    t_step = time_loop(dist_mpdata.make_dist_loop(cfg, m, kernel="xmajor"))
+    t_ca = time_loop(
+        dist_mpdata.make_dist_loop(cfg, m, kernel="xmajor", kstep=kstep)
+    )
+    gain = (t_step - t_ca) / t_step
+    say(
+        f" comm-avoid mpdata n={n} kstep={kstep}: per-step "
+        f"{t_step * 1e6:9.2f} us/step, kloop {t_ca * 1e6:9.2f} us/step, "
+        f"gain {gain * 100:5.1f}%"
+    )
+    return {"n_devices": n, "kstep": kstep, "per_step_s": t_step,
+            "kloop_s": t_ca, "gain": gain}
+
+
 def weak_scaling_biharmonic(
     device_counts=(1, 2, 4, 8),
     nelemd_per_device: int = 16,
