@@ -177,3 +177,49 @@ def test_fused_operator_pallas_f32_full_size():
     out = np.asarray(_step(cfg, 'fused_operator_pallas', data)(data))
     assert rel_l2(out, ref) < 5e-6  # exact-f32 FMAs; only operator-probe
     # rounding differs from the unrolled reference
+
+
+def test_bd8_resident_step_and_loop(small_data):
+    """VMEM-resident bd8 (n-application chain in-kernel): step matches the
+    reference single application; loop matches n chained steps (each
+    group's tracer block iterates on-chip, so a chain bug would be
+    invisible to step-based verification)."""
+    import dataclasses
+
+    from cdk_tpu.kernels.biharmonic import pallas_bd8
+
+    made = pallas_bd8.make_fused_operator_bd8_resident(SMALL)
+    prepare, step, loop = made["prepare"], made["step"], made["loop"]
+    aux = prepare(small_data)
+    ref = reference.make_reference(SMALL)(small_data)
+    assert rel_l2(np.asarray(step(aux, small_data)), np.asarray(ref)) < 1e-12
+    d = small_data
+    for _ in range(3):
+        d = dataclasses.replace(d, qtens=step(aux, d))
+    out_loop = loop(small_data, 3)
+    assert rel_l2(np.asarray(out_loop), np.asarray(d.qtens)) < 1e-12
+
+
+def test_bd8_resident_full_group():
+    """nelemd=8 exercises the full (128, 128) group tile."""
+    cfg = with_overrides(BiharmonicConfig(), nelemd=8, nlev=4, qsize=2)
+    data = problem.init_data(cfg)
+    from cdk_tpu.kernels.biharmonic import pallas_bd8
+
+    made = pallas_bd8.make_fused_operator_bd8_resident(cfg)
+    ref = reference.make_reference(cfg)(data)
+    out = made["step"](made["prepare"](data), data)
+    assert rel_l2(np.asarray(out), np.asarray(ref)) < 1e-12
+
+
+def test_bd8_resident_x3_matches_reference():
+    """Manual bf16x3 resident chain verifies at the f32 'high' error tier."""
+    cfg = with_overrides(BiharmonicConfig(), nelemd=8, nlev=4, qsize=2,
+                         dtype="float32")
+    data = problem.init_data(cfg)
+    from cdk_tpu.kernels.biharmonic import pallas_bd8
+
+    made = pallas_bd8.make_fused_operator_bd8_resident_x3(cfg)
+    ref = reference.make_reference(cfg)(data)
+    out = made["step"](made["prepare"](data), data)
+    assert rel_l2(np.asarray(out), np.asarray(ref)) < 2e-5
