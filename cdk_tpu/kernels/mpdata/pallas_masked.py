@@ -346,6 +346,81 @@ def masked_step_xmajor(f, u, w, rho, rhow, adz, gi0, *, nx, nzm,
     )(gi0_arr, kspan, f, u, w, rho, rhow, adz)
 
 
+def _kernel_xmajor_split(gi0_ref, kspan_ref, fl_ref, f_ref, fr_ref, u_ref,
+                         w_ref, rho_ref, rhow_ref, adz_ref, fout_ref,
+                         flux_ref, *, nx, halo, nzm):
+    h = halo
+    f_full = jnp.concatenate([fl_ref[...], f_ref[...], fr_ref[...]], axis=1)
+    X = f_full.shape[1]
+    li = jax.lax.broadcasted_iota(jnp.int32, (X, 1), 0)
+    gi = gi0_ref[0, 0] + li
+    owned = (li >= h) & (li < X - h)
+    f_out, flux = advect_scalar2d_masked_packed(
+        f_full, u_ref[...], w_ref[...], rho_ref[...], rhow_ref[...],
+        adz_ref[...], gi, owned, nx, kspan_ref[...], nzm,
+    )
+    fout_ref[...] = f_out[:, h:X - h]
+    flux_ref[...] = flux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "nzm", "halo", "block", "interpret"),
+)
+def masked_step_xmajor_split(f_loc, f_left, f_right, u_ext, w_ext, rho,
+                             rhow, adz, gi0, *, nx, nzm, halo, block=None,
+                             interpret=False):
+    """x-major masked step with IN-KERNEL halo assembly: the shard's owned
+    f block and the two exchanged halo strips enter as separate refs and
+    are concatenated in VMEM, and only the owned columns are written back.
+
+    Versus masked_step_xmajor on a pre-concatenated window this removes
+    two full-array HBM round trips per step from the dist loop: the
+    f_ext = concat(left, f, right) materialization (~170 MB at the
+    production preset) and the f_out[:, halo:halo+chunk] slice copy
+    (~80 MB).  u/w must arrive already extended (they are step-invariant;
+    the hoisted dist loop extends them once per run).  Same arithmetic as
+    masked_step_xmajor — the assembled window is value-identical.
+
+    gi0 is the global Fortran index of the FIRST HALO column (matching the
+    extended-window convention).  Returns (f_out (G, chunk, 8, 2*SEG) —
+    owned columns only — and flux_partial (G, 8, 2*SEG))."""
+    from cdk_tpu.kernels.mpdata.pallas_packed import _packed_kspan
+    from cdk_tpu.kernels.mpdata.pallas_xmajor import pick_block_x
+
+    g, chunk, _, _ = f_loc.shape
+    assert f_left.shape[1] == halo and f_right.shape[1] == halo
+    assert u_ext.shape[1] == chunk + 2 * halo
+    b = block or pick_block_x(g)
+    b = min(b, g)
+    assert g % b == 0
+    kspan = _packed_kspan(nzm, f_loc.dtype)
+    gi0_arr = jnp.reshape(jnp.asarray(gi0, jnp.int32), (1, 1))
+    blk4 = lambda a: pl.BlockSpec((b, a.shape[1], 8, 2 * SEG),
+                                  lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    blk3 = pl.BlockSpec((b, 8, 2 * SEG), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_xmajor_split, nx=nx, halo=halo, nzm=nzm),
+        out_shape=(
+            jax.ShapeDtypeStruct(f_loc.shape, f_loc.dtype),
+            jax.ShapeDtypeStruct((g, 8, 2 * SEG), f_loc.dtype),
+        ),
+        grid=(g // b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2 * SEG), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            blk4(f_left), blk4(f_loc), blk4(f_right),
+            blk4(u_ext), blk4(w_ext), blk3, blk3, blk3,
+        ],
+        out_specs=(blk4(f_loc), blk3),
+        interpret=interpret,
+    )(gi0_arr, kspan, f_left, f_loc, f_right, u_ext, w_ext, rho, rhow, adz)
+
+
 # ------------------- hoisted masked step + K-step in-kernel loop --------
 def make_masked_invariants(u, w, rho, rhow, adz, kspan, gim, ownedm, nx,
                            nzm):
