@@ -149,6 +149,47 @@ def test_pallas_dist_kernel_matches_jnp(overlap, kernel):
     assert rel_l1(np.asarray(flux_p), np.asarray(flux_j)) < 1e-14
 
 
+def test_split_halo_kernel_matches_concat_window():
+    """masked_step_xmajor_split (in-kernel f-halo assembly, owned-only
+    writeback) == masked_step_xmajor on the pre-concatenated window."""
+    from cdk_tpu.core.platform import pallas_interpret
+    from cdk_tpu.kernels.mpdata import pallas_xmajor as px
+    from cdk_tpu.kernels.mpdata.pallas_masked import (
+        masked_step_xmajor,
+        masked_step_xmajor_split,
+    )
+
+    cfg = with_overrides(MpdataConfig(), nslices=16, nz=12)
+    data = problem.init_data(cfg)
+    f, u_g, w_g = dist_mpdata.to_collocated(data)
+    h = dist_mpdata.HALO
+    fx = px.pack3x(f)
+    ux = px.pack3x(u_g)
+    wx = px.pack3x(w_g)
+    rho = px.pack2x(data.rho, pad=1.0)
+    rhow = px.pack2x(data.rhow, pad=1.0)
+    adz = px.pack2x(data.adz, pad=1.0)
+    # extended window: zeros for the (global-edge) halo strips, gi0 shifts
+    pad = jax.numpy.zeros_like(fx[:, :h])
+    f_ext = jax.numpy.concatenate([pad, fx, pad], axis=1)
+    u_ext = jax.numpy.concatenate([pad, ux, pad], axis=1)
+    w_ext = jax.numpy.concatenate([pad, wx, pad], axis=1)
+    interp = pallas_interpret()
+    X = fx.shape[1]
+    f_a, flux_a = masked_step_xmajor(
+        f_ext, u_ext, w_ext, rho, rhow, adz, -2 - h,
+        nx=cfg.nx, nzm=cfg.nzm, owned_lo=h, owned_hi=h + X,
+        interpret=interp,
+    )
+    f_b, flux_b = masked_step_xmajor_split(
+        fx, pad, pad, u_ext, w_ext, rho, rhow, adz, -2 - h,
+        nx=cfg.nx, nzm=cfg.nzm, halo=h, interpret=interp,
+    )
+    np.testing.assert_array_equal(np.asarray(f_a[:, h:h + X]),
+                                  np.asarray(f_b))
+    np.testing.assert_array_equal(np.asarray(flux_a), np.asarray(flux_b))
+
+
 @pytest.mark.parametrize("kstep", [2, 4])
 def test_dist_kloop_matches_reference(kstep):
     """Communication-avoiding loop (deep halo exchanged once per kstep
