@@ -171,6 +171,38 @@ def dss():
               f" (incl. dispatch)", flush=True)
 
 
+def dss_prod():
+    """Production-scale DSS-biharmonic: single-chip variants (driver) +
+    the one-dispatch dist DSS scan loop on a 1-device mesh, slope-timed —
+    the biharmonic leg of the north-star decomposition metric at a size
+    where per-dispatch tunnel latency (~0.6 ms) no longer dominates."""
+    from cdk_tpu.core.config import production_config
+    from cdk_tpu.dist import biharmonic as dist_bi, mesh as meshmod
+    from cdk_tpu.harness import driver
+    from cdk_tpu.kernels.biharmonic import problem
+
+    cfg = production_config("biharmonic_dss")
+    res = driver.run_kernel("biharmonic_dss", cfg, iters=20, trials=3,
+                            quiet=True)
+    for r in res:
+        pts = cfg.grid_points / r.seconds_per_call
+        print(f"[dss prod {r.variant:<24s}] {r.seconds_per_call * 1e6:9.2f}"
+              f" us/step  {pts / 1e9:7.2f} G pts/s ok={r.ok}", flush=True)
+
+    m = meshmod.make_mesh(1)
+    data = problem.init_data(cfg)
+    for overlap in (False, True):
+        shard_inputs, _, _ = dist_bi.make_dist_step_dss(cfg, m,
+                                                        overlap=overlap)
+        q_s, aux = shard_inputs(data)
+        loop = dist_bi.make_dist_loop_dss(cfg, m, overlap=overlap)
+        sec = _time_loop(lambda q, a, n: loop(q, a, n), (q_s, aux),
+                         n1=10, n2=60)
+        pts = cfg.grid_points / sec
+        print(f"[dist dss prod 1dev overlap={overlap}] {sec * 1e6:9.2f} "
+              f"us/step  {pts / 1e9:7.2f} G pts/s", flush=True)
+
+
 def main(phase: str) -> int:
     from cdk_tpu.core.platform import enable_compilation_cache
 
@@ -194,6 +226,8 @@ def main(phase: str) -> int:
         dist_cke()
     elif phase == "dss":
         dss()
+    elif phase == "dss_prod":
+        dss_prod()
     else:
         raise SystemExit(f"unknown phase {phase}")
     return 0
