@@ -36,6 +36,8 @@ Laplacian matrix (operator.py:59-75) twice with the elementwise DSS between.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -130,8 +132,11 @@ def dss_ring_lane(s_lane: jnp.ndarray, w: jnp.ndarray, npg: int):
     w: (e, np, np) inverse assembled mass."""
     e, npts, ncol = s_lane.shape
     s4 = s_lane.reshape(e, npg, npg, ncol)        # (e, i, j, col)
-    left = jnp.roll(s4, 1, axis=0)[:, :, -1]      # (e, i, col)
-    right = jnp.roll(s4, -1, axis=0)[:, :, 0]
+    # roll only the boundary-column SLICES: rolling the full s4 twice
+    # materializes the whole field twice more per step (measured
+    # production: ~1.5 ms of the fused_operator loop's 9.0 ms)
+    left = jnp.roll(s4[:, :, -1], 1, axis=0)      # (e, i, col)
+    right = jnp.roll(s4[:, :, 0], -1, axis=0)
     summed = jnp.concatenate(
         [
             (s4[:, :, 0] + left)[:, :, None],
@@ -143,6 +148,36 @@ def dss_ring_lane(s_lane: jnp.ndarray, w: jnp.ndarray, npg: int):
     return (summed * w[..., None]).reshape(e, npts, ncol)
 
 
+def dss_ring_grouped(s_g: jnp.ndarray, w5: jnp.ndarray, g: int, npg: int):
+    """DSS in the bd8 GROUPED (e/g, g*npts, ncol) layout — same assembly
+    as dss_ring_lane without leaving the grouped apply's layout (reshaping
+    to the per-element lane layout inside a scan body forces a physical
+    relayout of the whole tracer field every step).  The element index
+    becomes (group b, in-group ge): the in-group neighbor shift is a
+    static slice on the ge axis and only the group-edge elements read the
+    rolled neighbor group.  w5: (e/g, g, npg, npg, 1) inverse assembled
+    mass (precompute with `w.reshape(e//g, g, npg, npg)[..., None]`)."""
+    b, gn, ncol = s_g.shape
+    s5 = s_g.reshape(b, g, npg, npg, ncol)
+    src_j0 = s5[:, :, :, 0]          # (b, ge, i, c): each element's j=0
+    src_jl = s5[:, :, :, -1]         # j=np-1 columns
+    left = jnp.concatenate(
+        [jnp.roll(src_jl, 1, axis=0)[:, -1:], src_jl[:, :-1]], axis=1
+    )
+    right = jnp.concatenate(
+        [src_j0[:, 1:], jnp.roll(src_j0, -1, axis=0)[:, :1]], axis=1
+    )
+    summed = jnp.concatenate(
+        [
+            (s5[:, :, :, 0] + left)[:, :, :, None],
+            s5[:, :, :, 1:-1],
+            (s5[:, :, :, -1] + right)[:, :, :, None],
+        ],
+        axis=3,
+    )
+    return (summed * w5).reshape(b, gn, ncol)
+
+
 def _fused_dss_forms(cfg, precision):
     from cdk_tpu.kernels.biharmonic.operator import (
         apply_operator,
@@ -152,19 +187,43 @@ def _fused_dss_forms(cfg, precision):
     rr = cfg.np_dtype(cfg.rrearth)
     npg = cfg.np_gll
 
-    @jax.jit
-    def step(data: BiharmonicData) -> jnp.ndarray:
+    def _build(data):
         L = build_element_operator(
             data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
         )
-        w = dss_weights(data.spheremp)  # (e, i, j)
+        return L, dss_weights(data.spheremp)  # (e,16,16), (e, i, j)
+
+    @jax.jit
+    def prepare(data: BiharmonicData):
+        return _build(data)
+
+    @jax.jit
+    def step(aux, data: BiharmonicData) -> jnp.ndarray:
+        L, w = aux
         q = to_lane_layout(data.qtens)
         s = apply_operator(L, q, precision)
         s = dss_ring_lane(s, w, npg)
         out = apply_operator(L, s, precision)
         return from_lane_layout(out, cfg)
 
-    return step
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
+        # carry the scan state in the lane layout: the qtens↔lane
+        # conversion inside the body relayouts the whole field twice per
+        # step (measured production: 11.3 ms/step chained vs 5.9 for the
+        # same math with the conversions hoisted)
+        L, w = _build(data)
+
+        def body(q, _):
+            s = apply_operator(L, q, precision)
+            return apply_operator(L, dss_ring_lane(s, w, npg),
+                                  precision), None
+
+        out, _ = jax.lax.scan(body, to_lane_layout(data.qtens), None,
+                              length=n)
+        return from_lane_layout(out, cfg)
+
+    return {"prepare": prepare, "step": step, "loop": loop}
 
 
 @register(
@@ -233,8 +292,6 @@ def make_fused_dss_bd8(cfg):
         s = dss_ring_lane(s, w, npg)
         return from_lane_layout(apply_operator_grouped(lbd, s), cfg)
 
-    import functools
-
     @functools.partial(jax.jit, static_argnames="n")
     def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
         from cdk_tpu.kernels.biharmonic.operator import (
@@ -244,14 +301,28 @@ def make_fused_dss_bd8(cfg):
 
         L = beo(data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr)
         lbd = bdg(L, g)
+        eg, gn, _ = lbd.shape
         w = dss_weights(data.spheremp)
+        w5 = w.reshape(eg, g, npg, npg)[..., None]
+        q_lane = to_lane_layout(data.qtens)
+        ncol = q_lane.shape[-1]
 
-        def body(q, _):
-            s = apply_operator_grouped(lbd, q)
-            return apply_operator_grouped(lbd, dss_ring_lane(s, w, npg)), None
+        # carry the scan state in the GROUPED (e/g, g*16, ncol) layout and
+        # run the DSS there too (dss_ring_grouped): apply_operator_grouped's
+        # lane↔grouped reshapes inside the body would relayout the whole
+        # field 4x per step
+        def body(qg, _):
+            s = jnp.einsum("bop,bpc->boc", lbd, qg,
+                           preferred_element_type=qg.dtype,
+                           precision="high")
+            s = dss_ring_grouped(s, w5, g, npg)
+            out = jnp.einsum("bop,bpc->boc", lbd, s,
+                             preferred_element_type=qg.dtype,
+                             precision="high")
+            return out, None
 
-        out, _ = jax.lax.scan(body, to_lane_layout(data.qtens), None,
+        out, _ = jax.lax.scan(body, q_lane.reshape(eg, gn, ncol), None,
                               length=n)
-        return from_lane_layout(out, cfg)
+        return from_lane_layout(out.reshape(q_lane.shape), cfg)
 
     return {"prepare": prepare, "step": step, "loop": loop}

@@ -40,6 +40,44 @@ def test_dss_interior_is_mass_projection():
     )
 
 
+def test_dss_ring_grouped_matches_lane():
+    """The grouped-layout DSS (bd8 loop's zero-relayout form) computes the
+    same assembly as dss_ring_lane through the layout transforms."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    e, npg, ncol, g = 16, 4, 10, 8
+    npts = npg * npg
+    s_lane = jnp.asarray(rng.standard_normal((e, npts, ncol)),
+                         dtype=jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, (e, npg, npg)), dtype=jnp.float32)
+    ref = dss.dss_ring_lane(s_lane, w, npg)
+    w5 = w.reshape(e // g, g, npg, npg)[..., None]
+    out = dss.dss_ring_grouped(
+        s_lane.reshape(e // g, g * npts, ncol), w5, g, npg
+    ).reshape(e, npts, ncol)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_dss_loops_match_chained_steps():
+    """The variants' resident-layout loops == chaining their steps."""
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(BiharmonicConfig(), nelemd=8, nlev=4, qsize=2)
+    data = problem.init_data(cfg)
+    for name in ("fused_operator", "fused_operator_bd8"):
+        step2, aux, loop = _materialize(get("biharmonic_dss", name), cfg,
+                                        data)
+        assert loop is not None
+        import dataclasses
+
+        q = data.qtens
+        for _ in range(3):
+            q = step2(aux, dataclasses.replace(data, qtens=q))
+        out = loop(data, 3)
+        assert rel_l2(np.asarray(out), np.asarray(q)) < 1e-6, name
+
+
 def test_dss_variants_through_harness():
     from cdk_tpu.harness import driver
 
