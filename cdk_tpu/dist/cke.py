@@ -21,6 +21,7 @@ with exact (same-arithmetic) results."""
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -160,3 +161,29 @@ def make_dist_step_ring(cfg, mesh: Mesh):
         )
 
     return run
+
+
+def make_dist_loop(cfg, mesh: Mesh, ring: bool = False):
+    """n dist iterations under ONE jit (`lax.scan` over the shard_mapped
+    step) — the production dispatch shape, mirroring dist.mpdata's and
+    dist.biharmonic's loop drivers.  The per-dispatch measurements include
+    ~0.6 ms of tunnel round trip per step; this removes it.  The loop
+    carries the same tracer *= cellMask data dependence as the harness
+    scan (nested.F90:297-310, forms 2/3): idempotent in value but a real
+    dependence, so XLA cannot hoist the body."""
+    run = (make_dist_step_ring if ring else make_dist_step)(cfg, mesh)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(data: CkeData, n: int) -> jnp.ndarray:
+        init_flx = jnp.zeros(data.ntf.shape, data.ntf.dtype)
+
+        def body(carry, _):
+            tracer, _flx = carry
+            flx = run(dataclasses.replace(data, tracer=tracer))
+            return (tracer * data.cell_mask, flx), None
+
+        (_, flx), _ = lax.scan(body, (data.tracer, init_flx), None,
+                               length=n)
+        return flx
+
+    return loop

@@ -134,6 +134,13 @@ def dist_cke():
             best = min(best, (time.perf_counter() - t0) / 20)
         print(f"[dist cke 1dev {name}] {best * 1e6:9.2f} us/iter "
               f"(incl. dispatch)", flush=True)
+    # one-dispatch scan loops (the production dispatch shape): slope-timed,
+    # so the ~0.6 ms/dispatch tunnel cost above is removed
+    for name, ring in (("all_gather", False), ("ring", True)):
+        loop = dist_cke_mod.make_dist_loop(cfg, m, ring=ring)
+        sec = _time_loop(lambda d, n: loop(d, n), (data,), n1=20, n2=120)
+        print(f"[dist cke 1dev loop {name}] {sec * 1e6:9.2f} us/iter",
+              flush=True)
 
 
 def dss():

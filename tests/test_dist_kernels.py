@@ -69,6 +69,31 @@ def test_cke_ring_overlap_matches_serialized(ndev):
     assert n_bad == 0, f"max_err={max_err}"
 
 
+@pytest.mark.parametrize("ring", [False, True])
+def test_cke_dist_loop_matches_chained(ring):
+    """One-jit scan over the dist step == chaining per-dispatch runs
+    (tracer *= cellMask between iterations, the harness discipline)."""
+    import dataclasses
+
+    from cdk_tpu.core.config import CkeConfig
+    from cdk_tpu.kernels.cke import problem
+
+    cfg = with_overrides(CkeConfig(), nedges=256, ncells=96, nvertlevels=20)
+    data = problem.init_data(cfg)
+    m = meshmod.make_mesh(4)
+    sharded = dist_cke.shard_data(data, m)
+    run = (dist_cke.make_dist_step_ring if ring
+           else dist_cke.make_dist_step)(cfg, m)
+    loop = dist_cke.make_dist_loop(cfg, m, ring=ring)
+    out_l = np.asarray(loop(sharded, 3))
+    d = sharded
+    out_c = None
+    for _ in range(3):
+        out_c = run(d)
+        d = dataclasses.replace(d, tracer=d.tracer * d.cell_mask)
+    np.testing.assert_array_equal(out_l, np.asarray(out_c))
+
+
 def test_scaling_harness_biharmonic_and_gains():
     from cdk_tpu.harness import scaling
 
