@@ -72,13 +72,15 @@ def make_dist_step_dss(cfg, mesh: Mesh, overlap: bool = False):
     ppermute exchange.
 
     Returns (shard_inputs, step, gather):
-      shard_inputs(data) -> (q_lane sharded over elements, aux) where aux
-        = (L, w): the probed per-element 16×16 operators and the inverse
-        assembled DSS mass — both STATIC per problem, built once (untimed
-        prepare, the reference's own staging discipline nested.F90:400-403)
-        so no spheremp columns ever travel at step time;
-      step(q_lane, aux) -> next q_lane (lane layout, sharded);
-      gather(q_lane) -> full (e, q, k, np, np) qtens on host.
+      shard_inputs(data) -> (q_g sharded over element groups, aux) where
+        q_g is the GROUPED (E/g, g*16, ncol) layout and aux = (lbd, w5):
+        the grouped block-diagonal operators (E/g, g*16, g*16) and the
+        inverse assembled DSS mass (E/g, g, np, np, 1) — both STATIC per
+        problem, built once (untimed staging, the reference's discipline
+        nested.F90:400-403) so no spheremp columns ever travel at step
+        time;
+      step(q_g, aux) -> next q_g (grouped layout, sharded);
+      gather(q_g) -> full (e, q, k, np, np) qtens on host.
 
     The local compute is the TUNED form — the bd8 GROUPED block-diagonal
     operator apply (full 128x128 MXU tiles; groups never span shard
@@ -91,6 +93,7 @@ def make_dist_step_dss(cfg, mesh: Mesh, overlap: bool = False):
     ppermuted shard-edge columns replacing the single-chip ring wrap."""
     from cdk_tpu.kernels.biharmonic.dss import dss_weights
     from cdk_tpu.kernels.biharmonic.operator import (
+        apply_operator_grouped,
         blockdiag_group_operator,
         build_element_operator,
     )
@@ -116,9 +119,9 @@ def make_dist_step_dss(cfg, mesh: Mesh, overlap: bool = False):
         g -= 1
 
     def _apply_grouped(lbd, q_g):
-        return jnp.einsum("bop,bpc->boc", lbd, q_g,
-                          preferred_element_type=q_g.dtype,
-                          precision=precision)
+        # on a grouped-layout operand apply_operator_grouped's lane<->
+        # grouped reshapes are identity no-ops — one shared implementation
+        return apply_operator_grouped(lbd, q_g, precision=precision)
 
     def shard_inputs(data: BiharmonicData):
         L = build_element_operator(

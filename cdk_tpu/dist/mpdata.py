@@ -322,6 +322,12 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
     nx = cfg.nx
     xg = nx + 6
     chunk = -(-xg // nparts)  # ceil: pad global grid to nparts*chunk
+    if nparts > 1 and chunk < halo:
+        # _exchange's edge slices would silently truncate (x[:, -h:] just
+        # returns fewer columns) and every gi/owned index would misalign
+        raise ValueError(
+            f"chunk={chunk} < halo={halo}: too many devices for nx={nx}"
+        )
     xp = chunk * nparts
 
     fspec = (P(None, axis, None, None) if use_xmajor
@@ -662,6 +668,10 @@ def _make_dist_loop_hoisted(cfg, mesh: Mesh, halo: int, kernel: str | None):
     axis = mesh.axis_names[0]
     nparts = mesh.devices.size
     chunk = -(-(nx + 6) // nparts)
+    if nparts > 1 and chunk < halo:
+        raise ValueError(
+            f"chunk={chunk} < halo={halo}: too many devices for nx={nx}"
+        )
     fspec = (P(None, axis, None, None) if kernel == "xmajor"
              else P(None, axis, None))
 

@@ -308,18 +308,14 @@ def make_fused_dss_bd8(cfg):
         ncol = q_lane.shape[-1]
 
         # carry the scan state in the GROUPED (e/g, g*16, ncol) layout and
-        # run the DSS there too (dss_ring_grouped): apply_operator_grouped's
-        # lane↔grouped reshapes inside the body would relayout the whole
-        # field 4x per step
+        # run the DSS there too (dss_ring_grouped): a lane-layout carry
+        # would relayout the whole field around every apply (on the
+        # grouped carry apply_operator_grouped's reshapes are identity
+        # no-ops)
         def body(qg, _):
-            s = jnp.einsum("bop,bpc->boc", lbd, qg,
-                           preferred_element_type=qg.dtype,
-                           precision="high")
+            s = apply_operator_grouped(lbd, qg)
             s = dss_ring_grouped(s, w5, g, npg)
-            out = jnp.einsum("bop,bpc->boc", lbd, s,
-                             preferred_element_type=qg.dtype,
-                             precision="high")
-            return out, None
+            return apply_operator_grouped(lbd, s), None
 
         out, _ = jax.lax.scan(body, q_lane.reshape(eg, gn, ncol), None,
                               length=n)

@@ -217,6 +217,18 @@ def test_dist_kloop_matches_reference(kstep):
     assert rel_l1(np.asarray(flux_l), np.asarray(flux_r)) < 1e-12
 
 
+def test_dist_step_and_loop_reject_chunk_below_halo():
+    """Over-decomposed meshes must raise, not silently truncate halos
+    (_exchange's x[:, -h:] would just yield fewer columns and misalign
+    every global index — reproduced as rel-L1 ~0.9 garbage pre-guard)."""
+    cfg = with_overrides(MpdataConfig(), nx=10, nslices=4, nz=12)
+    m = meshmod.make_mesh(8)  # chunk = ceil(16/8) = 2 < HALO = 3
+    with pytest.raises(ValueError):
+        dist_mpdata.make_dist_step(cfg, m)
+    with pytest.raises(ValueError):
+        dist_mpdata.make_dist_loop(cfg, m)
+
+
 def test_dist_kloop_rejects_bad_geometry():
     cfg = with_overrides(MpdataConfig(), nx=16, nslices=4, nz=12)
     m = meshmod.make_mesh(4)  # chunk = ceil(22/4) = 6 < 3*4
