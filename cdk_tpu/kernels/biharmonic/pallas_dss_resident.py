@@ -1,0 +1,298 @@
+"""VMEM-resident k-step DSS-biharmonic: the communication-avoiding deep-
+halo chain applied to the element ring.
+
+The plain bd8 resident chain (pallas_bd8.py) keeps each 8-element group's
+tracer block in VMEM across all n applications because groups are fully
+independent.  The DSS family breaks that: every step couples element e to
+e±1 through the assembly (dss.py topology), so a resident chain needs the
+mpdata-kloop argument instead (pallas_masked.masked_kloop_xmajor): load a
+WINDOW of B center groups plus hg halo groups per side, run k full
+steps (apply → DSS → apply) in VMEM, and keep the center — each step
+consumes one element of halo validity per side, so the center stays exact
+while k ≤ hg*g.  HBM traffic drops from (read+write the field) per step —
+the binding cost of the XLA grouped-carry loop, 5.53 ms/step at
+production — to once per k steps, and the applies run as the measured
+128-TFLOPS-effective x3 MXU chain (pallas_bd8.py numbers).
+
+The in-kernel DSS needs no reshape out of the (rows, ncol) layout: with
+lane-layout rows p = 4*i + j (problem.to_lane_layout; dss.py docstring)
+concatenated across elements, an element's j=0 row r pairs with its LEFT
+neighbor's j=3 row at exactly r-13 (r = 16*ge + 4i → r-13 =
+16*(ge-1) + 4i + 3), and its j=np-1 row with r+13.  So the whole assembly
+is two static sublane shifts + masked adds + the inverse-mass multiply:
+
+    d = (s + (j==0)*shift_down13(s) + (j==3)*shift_up13(s)) * w
+
+with window edges receiving garbage that the validity argument absorbs.
+The ring's global periodicity lives in the halo-window gather indices
+(mod nelemd), not in the kernel.
+
+Precision: Mosaic exposes only DEFAULT/HIGHEST dot precision; the exact
+form runs "highest" (bf16x6) and the x3 form the manual hi/lo-bf16
+3-pass split — identical to pallas_bd8, with the operator split hoisted
+out of the k-step loop.  The DSS-family gate is 5e-5 (specs.py); the x3
+chain measures ~1e-6-grade L2 (see results/tpu-v5e/round2-summary.txt).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cdk_tpu.core.platform import pallas_interpret
+from cdk_tpu.core.registry import register
+from cdk_tpu.kernels.biharmonic.dss import dss_weights
+from cdk_tpu.kernels.biharmonic.operator import (
+    blockdiag_group_operator,
+    build_element_operator,
+)
+from cdk_tpu.kernels.biharmonic.problem import (
+    BiharmonicData,
+    from_lane_layout,
+    to_lane_layout,
+)
+
+KMAX = 8  # steps per kernel call (halo elements per side = hg*g >= KMAX)
+
+
+def _shift_down(a, n):
+    """out[r] = a[r-n] (rows below n get zeros — garbage-absorbed edges)."""
+    return jnp.concatenate([jnp.zeros_like(a[:n]), a[:-n]], axis=0)
+
+
+def _shift_up(a, n):
+    """out[r] = a[r+n]."""
+    return jnp.concatenate([a[n:], jnp.zeros_like(a[:n])], axis=0)
+
+
+def _dss_resident_kernel(l_ref, w_ref, ql_ref, qc_ref, qr_ref, out_ref, *,
+                         nsteps, precision, gn, hg_rows, npg):
+    W = l_ref.shape[1]
+    q2 = jnp.concatenate([ql_ref[...], qc_ref[...], qr_ref[...]], axis=0)
+    rows = q2.shape[0]
+    w2 = w_ref[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    j = r % npg
+    m0 = (j == 0).astype(q2.dtype)
+    m3 = (j == npg - 1).astype(q2.dtype)
+    shift = 4 * npg - 3  # 13 at np=4: j=0 row r pairs with j=3 row r-13
+
+    f32 = q2.dtype
+    if precision == "bf16x3":
+        # hoist the step-invariant operator splits out of the k-step loop
+        ls = []
+        for b in range(W):
+            L = l_ref[0, b]
+            L_hi = L.astype(jnp.bfloat16)
+            L_lo = (L - L_hi.astype(f32)).astype(jnp.bfloat16)
+            ls.append((L_hi, L_lo))
+
+        def apply_all(q):
+            outs = []
+            for b in range(W):
+                L_hi, L_lo = ls[b]
+                x = q[b * gn:(b + 1) * gn]
+                x_hi = x.astype(jnp.bfloat16)
+                x_lo = (x - x_hi.astype(f32)).astype(jnp.bfloat16)
+                outs.append(
+                    jnp.dot(L_hi, x_hi, preferred_element_type=f32)
+                    + jnp.dot(L_hi, x_lo, preferred_element_type=f32)
+                    + jnp.dot(L_lo, x_hi, preferred_element_type=f32)
+                )
+            return jnp.concatenate(outs, axis=0)
+    else:
+
+        def apply_all(q):
+            return jnp.concatenate(
+                [
+                    jnp.dot(l_ref[0, b], q[b * gn:(b + 1) * gn],
+                            precision=precision,
+                            preferred_element_type=f32)
+                    for b in range(W)
+                ],
+                axis=0,
+            )
+
+    def body(_, q):
+        s = apply_all(q)
+        d = (s + m0 * _shift_down(s, shift)
+             + m3 * _shift_up(s, shift)) * w2
+        return apply_all(d)
+
+    q2 = jax.lax.fori_loop(0, nsteps, body, q2)
+    out_ref[...] = q2[hg_rows:rows - hg_rows]
+
+
+def _pick_geometry(eg, gn, ncol, g, itemsize):
+    """-> (B center groups per window, hg halo groups per side, ncol
+    block).  Conservative sizing: Pallas double-buffers every input/output
+    block for the pipeline, so the real footprint is ~2x the refs plus
+    the loop carry and a dot temporary — target ~8 MB against the 16 MB
+    scoped-VMEM budget (an OOM here crash-wedges the remote tunnel for
+    ~20 min, see memory notes)."""
+    hg = -(-KMAX // g)
+    # center groups per window: biggest divisor of eg whose center block
+    # stays small enough that the halo overhead 2*hg/B is still amortized
+    B = 1
+    for cand in sorted({d for d in range(1, eg + 1) if eg % d == 0},
+                       reverse=True):
+        B = cand
+        if cand * gn * ncol * itemsize <= 3 * 2**20 + 2**19:
+            break
+    # ncol block: Mosaic requires the lane-dim block be a multiple of 128
+    # (callers pad ncol to one), so pick the largest multiple-of-128
+    # divisor whose window working set (carry + temp + center in/out)
+    # fits the budget; 128 always divides the padded ncol
+    m = ncol // 128
+    ncol_blk = 128
+    for d in sorted((d for d in range(1, m + 1) if m % d == 0),
+                    reverse=True):
+        if (B + 2 * hg) * gn * d * 128 * itemsize * 3 <= 5 * 2**20:
+            ncol_blk = d * 128
+            break
+    return B, hg, ncol_blk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsteps", "precision", "g", "npg", "interpret"),
+)
+def apply_dss_resident(lbd, w2, qg, nsteps: int, *, g: int, npg: int,
+                       precision: str = "highest",
+                       interpret: bool = False):
+    """k chained DSS-biharmonic steps in-kernel.
+
+    lbd: (eg, gn, gn) grouped operators; w2: (eg*gn, 1) inverse assembled
+    DSS mass in lane-row order; qg: (eg, gn, ncol) grouped tracer.
+    Returns qg after nsteps steps (exact on every element: the halo
+    windows carry the ring's periodicity via mod-eg gather indices)."""
+    eg, gn, ncol0 = qg.shape
+    assert nsteps <= KMAX
+    # pad the column batch to a lane-block multiple (zero columns are
+    # fixed points of apply and DSS; sliced off at the end)
+    ncol = -(-ncol0 // 128) * 128
+    if ncol != ncol0:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, ncol - ncol0)))
+    B, hg, ncol_blk = _pick_geometry(eg, gn, ncol, g, qg.dtype.itemsize)
+    nb = eg // B
+    W = B + 2 * hg
+
+    # pre-windowed halo gathers (static indices; mod eg = the ring wrap)
+    idx_l = np.array([(i * B - hg + j) % eg
+                      for i in range(nb) for j in range(hg)])
+    idx_r = np.array([((i + 1) * B + j) % eg
+                      for i in range(nb) for j in range(hg)])
+    ql = jnp.take(qg, idx_l, axis=0).reshape(nb * hg * gn, ncol)
+    qr = jnp.take(qg, idx_r, axis=0).reshape(nb * hg * gn, ncol)
+    q2 = qg.reshape(eg * gn, ncol)
+
+    # windowed operators and weights (static per problem; built per call —
+    # cheap next to the field, and hoisted by XLA out of caller scans)
+    idx_w = np.array([(i * B - hg + j) % eg
+                      for i in range(nb) for j in range(W)])
+    lw = jnp.take(lbd, idx_w, axis=0).reshape(nb, W, gn, gn)
+    ww = jnp.take(w2.reshape(eg, gn, 1), idx_w, axis=0).reshape(
+        nb, W * gn, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_dss_resident_kernel, nsteps=nsteps,
+                          precision=precision, gn=gn, hg_rows=hg * gn,
+                          npg=npg),
+        out_shape=jax.ShapeDtypeStruct((eg * gn, ncol), qg.dtype),
+        grid=(nb, ncol // ncol_blk),
+        in_specs=[
+            pl.BlockSpec((1, W, gn, gn), lambda i, c: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * gn, 1), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hg * gn, ncol_blk), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * gn, ncol_blk), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hg * gn, ncol_blk), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B * gn, ncol_blk), lambda i, c: (i, c),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lw, ww, ql, q2, qr)
+    return out.reshape(eg, gn, ncol)[:, :, :ncol0]
+
+
+def _dss_resident_forms(cfg, precision: str):
+    rr = cfg.np_dtype(cfg.rrearth)
+    g = 8
+    while cfg.nelemd % g:
+        g -= 1
+    npts, ncol, npg = cfg.npts, cfg.ncol, cfg.np_gll
+    interpret = pallas_interpret()
+
+    def _build(data):
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        lbd = blockdiag_group_operator(L, g)
+        w2 = dss_weights(data.spheremp).reshape(cfg.nelemd * npts, 1)
+        return lbd, w2
+
+    @jax.jit
+    def prepare(data: BiharmonicData):
+        return _build(data)
+
+    def _to_grouped(qtens, eg):
+        return to_lane_layout(qtens).reshape(eg, g * npts, ncol)
+
+    def _from_grouped(qg):
+        return from_lane_layout(qg.reshape(cfg.nelemd, npts, ncol), cfg)
+
+    @jax.jit
+    def step(aux, data: BiharmonicData) -> jnp.ndarray:
+        lbd, w2 = aux
+        qg = _to_grouped(data.qtens, lbd.shape[0])
+        out = apply_dss_resident(lbd, w2, qg, 1, g=g, npg=npg,
+                                 precision=precision, interpret=interpret)
+        return _from_grouped(out)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
+        lbd, w2 = _build(data)
+        qg = _to_grouped(data.qtens, lbd.shape[0])
+        k = min(KMAX, n)
+        run_k = lambda q, steps: apply_dss_resident(
+            lbd, w2, q, steps, g=g, npg=npg, precision=precision,
+            interpret=interpret)
+        if n // k:
+            qg, _ = jax.lax.scan(lambda q, _: (run_k(q, k), None), qg,
+                                 None, length=n // k)
+        if n % k:
+            qg = run_k(qg, n % k)
+        return _from_grouped(qg)
+
+    return {"prepare": prepare, "step": step, "loop": loop}
+
+
+@register(
+    "biharmonic_dss",
+    "fused_operator_bd8_resident",
+    "communication-avoiding resident DSS chain: k full steps (apply-DSS-"
+    "apply) in-kernel over deep-halo element-ring windows; HBM traffic "
+    "once per k steps ('highest' dots)",
+)
+def make_dss_bd8_resident(cfg):
+    return _dss_resident_forms(cfg, "highest")
+
+
+@register(
+    "biharmonic_dss",
+    "fused_operator_bd8_resident_x3",
+    "resident DSS chain with manual 3-pass bf16 f32-emulation dots (the "
+    "einsum variants' 'high'; half the MXU passes of 'highest')",
+    supports_f64=False,
+)
+def make_dss_bd8_resident_x3(cfg):
+    return _dss_resident_forms(cfg, "bf16x3")

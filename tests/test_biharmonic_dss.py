@@ -78,6 +78,49 @@ def test_dss_loops_match_chained_steps():
         assert rel_l2(np.asarray(out), np.asarray(q)) < 1e-6, name
 
 
+@pytest.mark.parametrize("nelemd", [8, 5])  # g=8 and the odd-g fallback
+def test_dss_resident_chain_matches_chained_reference(nelemd):
+    """The VMEM-resident deep-halo DSS chain (k in-kernel steps over
+    element-ring windows) == chained reference steps at f64.  n=3 takes
+    the single-call remainder path, n=11 the scan(k=8)+remainder path.
+    (Multi-step f32 comparisons are vacuous here: the raw operator
+    contracts ~1e-25/step, so chained fields underflow to exact zero —
+    hence the f64 gate, like the suite's other f64 parity tests.)"""
+    import dataclasses
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(BiharmonicConfig(), nelemd=nelemd, nlev=4,
+                         qsize=2, dtype="float64")
+    data = problem.init_data(cfg)
+    ref_step, _, _ = _materialize(
+        get("biharmonic_dss", "reference_jnp"), cfg, data)
+    _, _, loop = _materialize(
+        get("biharmonic_dss", "fused_operator_bd8_resident"), cfg, data)
+    for n in (3, 11):
+        q = data.qtens
+        for _ in range(n):
+            q = ref_step((), dataclasses.replace(data, qtens=q))
+        assert rel_l2(np.asarray(loop(data, n)), np.asarray(q)) < 1e-13, n
+
+
+def test_dss_resident_x3_single_step_f32():
+    """The x3 (manual hi/lo bf16) resident form passes the DSS-family f32
+    gate on one step."""
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(BiharmonicConfig(), nelemd=16, nlev=6, qsize=3,
+                         dtype="float32")
+    data = problem.init_data(cfg)
+    ref_step, _, _ = _materialize(
+        get("biharmonic_dss", "reference_jnp"), cfg, data)
+    step2, aux, _ = _materialize(
+        get("biharmonic_dss", "fused_operator_bd8_resident_x3"), cfg, data)
+    e = rel_l2(np.asarray(step2(aux, data)),
+               np.asarray(ref_step((), data)))
+    assert e < 5e-5, e
+
+
 def test_dss_variants_through_harness():
     from cdk_tpu.harness import driver
 
