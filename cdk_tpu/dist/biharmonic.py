@@ -266,3 +266,124 @@ def make_dist_loop_dss(cfg, mesh: Mesh, overlap: bool = False):
         return q_out
 
     return loop
+
+def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
+                             precision: str | None = None):
+    """Communication-avoiding dist DSS loop: exchange B halo GROUPS once
+    per kstep in-kernel steps (ring ppermute over shards — the element
+    ring is globally periodic, so the permutation wraps), then run the
+    VMEM-resident windowed chain (pallas_dss_resident.apply_dss_resident_
+    windowed) on each shard's extended block and keep the owned groups.
+    Exactness: each in-kernel step consumes one element of halo validity
+    per side (kstep <= B*g); the mpdata kloop argument on the element
+    ring.  Exchange count drops kstep-fold and the field's HBM round trip
+    happens once per kstep steps instead of per step.
+
+    Returns (shard_inputs, loop, gather): shard_inputs(data) ->
+    (q_g (eg, gn, ncol) grouped + sharded, aux=(lbd, w2)); loop(q_g, aux,
+    n) with n % kstep == 0; gather back to qtens."""
+    import numpy as _np
+
+    from cdk_tpu.core.platform import pallas_interpret
+    from cdk_tpu.kernels.biharmonic.dss import dss_weights
+    from cdk_tpu.kernels.biharmonic.operator import (
+        blockdiag_group_operator,
+        build_element_operator,
+    )
+    from cdk_tpu.kernels.biharmonic.pallas_dss_resident import (
+        KMAX,
+        apply_dss_resident_windowed,
+    )
+
+    if kstep > KMAX:
+        raise ValueError(f"kstep={kstep} > KMAX={KMAX}")
+    axis = mesh.axis_names[0]
+    nparts = mesh.devices.size
+    rr = cfg.np_dtype(cfg.rrearth)
+    npg = cfg.np_gll
+    npts, ncol = cfg.npts, cfg.ncol
+    g = 8
+    while cfg.nelemd % g:
+        g -= 1
+    gn = g * npts
+    eg = cfg.nelemd // g
+    if eg % nparts:
+        raise ValueError(f"element groups {eg} not divisible by {nparts}")
+    eg_loc = eg // nparts
+    hg = -(-kstep // g)  # halo groups needed for kstep steps
+    # center-block size: a multiple of hg dividing the shard, as large as
+    # the VMEM window budget allows (amortizes the 2*hg halo overcompute)
+    B = hg
+    for cand in sorted((b for b in range(hg, eg_loc + 1)
+                        if eg_loc % b == 0 and b % hg == 0),
+                       reverse=True):
+        B = cand
+        if cand * gn * cfg.ncol * cfg.np_dtype(0).itemsize <= 3 * 2**20:
+            break
+    nb = eg_loc // B
+    if precision is None:
+        precision = "highest" if cfg.dtype == "float64" else "bf16x3"
+    interpret = pallas_interpret()
+    espec = P(axis)
+    elem = NamedSharding(mesh, espec)
+    perm_fwd = [(i, (i + 1) % nparts) for i in range(nparts)]
+    perm_bwd = [(i, (i - 1) % nparts) for i in range(nparts)]
+
+    def shard_inputs(data: BiharmonicData):
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        lbd = blockdiag_group_operator(L, g)
+        w2 = dss_weights(data.spheremp).reshape(eg, gn, 1)
+        q_g = to_lane_layout(data.qtens).reshape(eg, gn, ncol)
+        return (
+            jax.device_put(q_g, elem),
+            (jax.device_put(lbd, elem), jax.device_put(w2, elem)),
+        )
+
+    def _exg(x):
+        """Extend by hg ring-exchanged halo groups per side (periodic)."""
+        left = lax.ppermute(x[-hg:], axis, perm_fwd)
+        right = lax.ppermute(x[:hg], axis, perm_bwd)
+        return jnp.concatenate([left, x, right], axis=0)
+
+    W = B + 2 * hg
+    idx_w = _np.array([i * B + j for i in range(nb) for j in range(W)])
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(q_s, aux, n: int):
+        assert n % kstep == 0, f"n={n} not a multiple of kstep={kstep}"
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(espec, (espec, espec)),
+            out_specs=espec,
+            check_vma=False,
+        )
+        def run(q_loc, aux):
+            lbd, w2 = aux
+            # operators/weights are step-invariant: exchange + window ONCE
+            lw = jnp.take(_exg(lbd), idx_w, axis=0).reshape(nb, W, gn, gn)
+            ww = jnp.take(_exg(w2), idx_w, axis=0).reshape(nb, W * gn, 1)
+
+            def body(q, _):
+                out = apply_dss_resident_windowed(
+                    lw, ww, _exg(q), kstep, b_groups=B, hg=hg, gn=gn,
+                    npg=npg, precision=precision, interpret=interpret,
+                )
+                return out, None
+
+            q_out, _ = lax.scan(body, q_loc, None, length=n // kstep)
+            return q_out
+
+        return run(q_s, aux)
+
+    def gather(q_g):
+        from cdk_tpu.kernels.biharmonic.problem import from_lane_layout
+        import numpy as np
+
+        q_lane = jnp.asarray(q_g).reshape(cfg.nelemd, npts, ncol)
+        return np.asarray(jax.device_get(from_lane_layout(q_lane, cfg)))
+
+    return shard_inputs, loop, gather

@@ -296,3 +296,69 @@ def make_dss_bd8_resident(cfg):
 )
 def make_dss_bd8_resident_x3(cfg):
     return _dss_resident_forms(cfg, "bf16x3")
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsteps", "b_groups", "hg", "gn", "npg", "precision",
+                     "interpret"),
+)
+def apply_dss_resident_windowed(lw, ww, q_ext, nsteps: int, *,
+                                b_groups: int, hg: int, gn: int, npg: int,
+                                precision: str = "highest",
+                                interpret: bool = False):
+    """Dist form of the resident chain: the caller supplies q_ext with hg
+    EXCHANGED halo groups per side (ring ppermute across shards — the
+    global periodicity lives there, not in gather indices) and
+    pre-windowed operators/weights lw (nb, B+2hg, gn, gn) /
+    ww (nb, (B+2hg)*gn, 1).  Windows are pure block offsets: q_ext is
+    left/right padded by B-hg garbage groups so the B-group centers land
+    on block boundaries while the hg-group halo refs index in hg-units
+    (requires hg | B).  Validity: nsteps <= hg * (gn/16) elements of halo
+    per side.  Returns the owned (eg_loc, gn, ncol)."""
+    egx, gn_, ncol0 = q_ext.shape
+    eg = egx - 2 * hg
+    B = b_groups
+    assert B % hg == 0 and eg % B == 0
+    nb = eg // B
+    ncol = -(-ncol0 // 128) * 128
+    if ncol != ncol0:
+        q_ext = jnp.pad(q_ext, ((0, 0), (0, 0), (0, ncol - ncol0)))
+    pad = B - hg
+    if pad:
+        q_ext = jnp.pad(q_ext, ((pad, pad), (0, 0), (0, 0)))
+    W = B + 2 * hg
+    # lane-dim block: largest multiple-of-128 divisor within the budget
+    m = ncol // 128
+    ncol_blk = 128
+    for d in sorted((d for d in range(1, m + 1) if m % d == 0),
+                    reverse=True):
+        if W * gn * d * 128 * q_ext.dtype.itemsize * 3 <= 5 * 2**20:
+            ncol_blk = d * 128
+            break
+    q2 = q_ext.reshape((eg + 2 * B) * gn, ncol)
+    r = B // hg  # halo-ref block stride in hg-units
+    hspec = lambda off: pl.BlockSpec(
+        (hg * gn, ncol_blk), lambda i, c, o=off: ((i + 1) * r + o, c),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_dss_resident_kernel, nsteps=nsteps,
+                          precision=precision, gn=gn,
+                          hg_rows=hg * gn, npg=npg),
+        out_shape=jax.ShapeDtypeStruct((eg * gn, ncol), q_ext.dtype),
+        grid=(nb, ncol // ncol_blk),
+        in_specs=[
+            pl.BlockSpec((1, W, gn, gn), lambda i, c: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W * gn, 1), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            hspec(-1),                                       # left halo
+            pl.BlockSpec((B * gn, ncol_blk), lambda i, c: (i + 1, c),
+                         memory_space=pltpu.VMEM),           # center
+            hspec(r),                                        # right halo
+        ],
+        out_specs=pl.BlockSpec((B * gn, ncol_blk),
+                               lambda i, c: (i, c),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lw, ww, q2, q2, q2)
+    return out.reshape(eg, gn, ncol)[:, :, :ncol0]

@@ -189,7 +189,7 @@ def dss_prod():
     from cdk_tpu.kernels.biharmonic import problem
 
     cfg = production_config("biharmonic_dss")
-    res = driver.run_kernel("biharmonic_dss", cfg, iters=20, trials=3,
+    res = driver.run_kernel("biharmonic_dss", cfg, iters=24, trials=3,
                             quiet=True)
     for r in res:
         pts = cfg.grid_points / r.seconds_per_call

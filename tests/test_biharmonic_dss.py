@@ -121,6 +121,32 @@ def test_dss_resident_x3_single_step_f32():
     assert e < 5e-5, e
 
 
+@pytest.mark.parametrize("ndev,kstep", [(2, 8), (4, 4), (2, 3)])
+def test_dss_dist_kstep_matches_reference(ndev, kstep):
+    """Communication-avoiding dist DSS (B halo groups ring-exchanged once
+    per kstep resident in-kernel steps) == chained reference at f64."""
+    import dataclasses
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(BiharmonicConfig(), nelemd=32, nlev=4, qsize=2,
+                         dtype="float64")
+    data = problem.init_data(cfg)
+    m = meshmod.make_mesh(ndev)
+    shard_inputs, loop, gather = dist_bi.make_dist_loop_dss_kstep(
+        cfg, m, kstep=kstep)
+    q_s, aux = shard_inputs(data)
+    n = 2 * kstep
+    out = gather(loop(q_s, aux, n))
+
+    ref_step, _, _ = _materialize(
+        get("biharmonic_dss", "reference_jnp"), cfg, data)
+    q = data.qtens
+    for _ in range(n):
+        q = ref_step((), dataclasses.replace(data, qtens=q))
+    assert rel_l2(out, np.asarray(q)) < 1e-12
+
+
 def test_dss_variants_through_harness():
     from cdk_tpu.harness import driver
 
