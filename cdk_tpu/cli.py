@@ -200,6 +200,12 @@ def main(argv=None) -> int:
                         nelemd_per_device=args.nelemd_per_device,
                         n_steps=args.steps,
                     )
+                if args.kstep:
+                    scaling.comm_avoid_gain_dss(
+                        n_devices=devices[-1],
+                        nelemd_per_device=args.nelemd_per_device,
+                        kstep=args.kstep, n_steps=args.steps,
+                    )
             else:
                 scaling.weak_scaling_cke(
                     device_counts=devices,

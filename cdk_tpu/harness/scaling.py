@@ -179,6 +179,60 @@ def comm_avoid_gain_mpdata(
             "kloop_s": t_ca, "gain": gain}
 
 
+def comm_avoid_gain_dss(
+    n_devices: int = 8,
+    nelemd_per_device: int = 16,
+    kstep: int = 4,
+    n_steps: int = 16,
+    nlev: int = 8,
+    qsize: int = 2,
+    dtype: str = "float32",
+    quiet: bool = False,
+) -> dict:
+    """Per-step dist DSS loop vs the communication-avoiding resident-chain
+    kstep loop (hg halo groups ring-exchanged once per kstep in-kernel
+    steps) at fixed per-shard size, both single-jit scans.  Measured at
+    production on 1 device: 5.74 ms/step per-step vs 1.10 ms/step kstep=8
+    (results/tpu-v5e/round2-summary.txt)."""
+    import time
+
+    from cdk_tpu.core.config import BiharmonicConfig
+    from cdk_tpu.dist import biharmonic as dist_bi
+    from cdk_tpu.kernels.biharmonic import problem
+
+    say = (lambda *a: None) if quiet else print
+    n = min(n_devices, len(jax.devices()))
+    n_steps -= n_steps % kstep
+    cfg = with_overrides(BiharmonicConfig(), nelemd=nelemd_per_device * n,
+                         nlev=nlev, qsize=qsize, dtype=dtype)
+    m = meshmod.make_mesh(n)
+    data = problem.init_data(cfg)
+
+    def time_loop(loop, args):
+        fetch_sync(loop(*args, n_steps))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fetch_sync(loop(*args, n_steps))
+            best = min(best, (time.perf_counter() - t0) / n_steps)
+        return best
+
+    shard_inputs, _, _ = dist_bi.make_dist_step_dss(cfg, m)
+    loop_ps = dist_bi.make_dist_loop_dss(cfg, m)
+    t_step = time_loop(loop_ps, shard_inputs(data))
+    shard_inputs_k, loop_k, _ = dist_bi.make_dist_loop_dss_kstep(
+        cfg, m, kstep=kstep)
+    t_ca = time_loop(loop_k, shard_inputs_k(data))
+    gain = (t_step - t_ca) / t_step
+    say(
+        f" comm-avoid dss n={n} kstep={kstep}: per-step "
+        f"{t_step * 1e6:9.2f} us/step, kloop {t_ca * 1e6:9.2f} us/step, "
+        f"gain {gain * 100:5.1f}%"
+    )
+    return {"n_devices": n, "kstep": kstep, "per_step_s": t_step,
+            "kloop_s": t_ca, "gain": gain}
+
+
 def weak_scaling_biharmonic(
     device_counts=(1, 2, 4, 8),
     nelemd_per_device: int = 16,

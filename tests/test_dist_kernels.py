@@ -108,3 +108,7 @@ def test_scaling_harness_biharmonic_and_gains():
         n_devices=2, nedges_per_device=64, ncells=40, nvert=10, n_steps=2,
         quiet=True)
     assert g1["plain_s"] > 0 and g2["plain_s"] > 0
+    g3 = scaling.comm_avoid_gain_dss(
+        n_devices=2, nelemd_per_device=8, kstep=2, n_steps=4, nlev=4,
+        qsize=2, quiet=True)
+    assert g3["per_step_s"] > 0 and g3["kloop_s"] > 0
