@@ -275,9 +275,10 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
     VMEM-resident windowed chain (pallas_dss_resident.apply_dss_resident_
     windowed) on each shard's extended block and keep the owned groups.
     Exactness: each in-kernel step consumes one element of halo validity
-    per side (kstep <= B*g); the mpdata kloop argument on the element
-    ring.  Exchange count drops kstep-fold and the field's HBM round trip
-    happens once per kstep steps instead of per step.
+    per side (kstep <= hg*g with hg = ceil(kstep/g) halo groups — B is
+    only the VMEM-budget center-block size); the mpdata kloop argument on
+    the element ring.  Exchange count drops kstep-fold and the field's
+    HBM round trip happens once per kstep steps instead of per step.
 
     Returns (shard_inputs, loop, gather): shard_inputs(data) ->
     (q_g (eg, gn, ncol) grouped + sharded, aux=(lbd, w2)); loop(q_g, aux,
@@ -311,6 +312,14 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
         raise ValueError(f"element groups {eg} not divisible by {nparts}")
     eg_loc = eg // nparts
     hg = -(-kstep // g)  # halo groups needed for kstep steps
+    if eg_loc < hg or eg_loc % hg:
+        # _exg's x[-hg:] would silently truncate the halo exchange and the
+        # windowed kernel's geometry would be wrong — raise like the other
+        # decomposition guards
+        raise ValueError(
+            f"{eg_loc} groups/shard cannot carry an hg={hg} halo "
+            f"(kstep={kstep}, g={g}): lower kstep or devices"
+        )
     # center-block size: a multiple of hg dividing the shard, as large as
     # the VMEM window budget allows (amortizes the 2*hg halo overcompute)
     B = hg
@@ -352,7 +361,8 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
 
     @functools.partial(jax.jit, static_argnames="n")
     def loop(q_s, aux, n: int):
-        assert n % kstep == 0, f"n={n} not a multiple of kstep={kstep}"
+        if n % kstep:
+            raise ValueError(f"n={n} not a multiple of kstep={kstep}")
 
         @functools.partial(
             shard_map,

@@ -546,7 +546,8 @@ def _make_dist_kloop(cfg, mesh: Mesh, kstep: int, kernel: str | None):
 
     @functools.partial(jax.jit, static_argnames="n")
     def loop(f_s, u_s, w_s, aux, n: int):
-        assert n % kstep == 0, f"n={n} not a multiple of kstep={kstep}"
+        if n % kstep:
+            raise ValueError(f"n={n} not a multiple of kstep={kstep}")
 
         @functools.partial(
             shard_map,

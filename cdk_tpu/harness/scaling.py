@@ -150,7 +150,7 @@ def comm_avoid_gain_mpdata(
 
     say = (lambda *a: None) if quiet else print
     n = min(n_devices, len(jax.devices()))
-    n_steps -= n_steps % kstep
+    n_steps = max(kstep, n_steps - n_steps % kstep)
     cfg = with_overrides(MpdataConfig(), nx=nx_per_device * n, dtype=dtype)
     m = meshmod.make_mesh(n)
     shard_inputs, _, _ = dist_mpdata.make_dist_step(cfg, m, kernel="xmajor")
@@ -202,7 +202,7 @@ def comm_avoid_gain_dss(
 
     say = (lambda *a: None) if quiet else print
     n = min(n_devices, len(jax.devices()))
-    n_steps -= n_steps % kstep
+    n_steps = max(kstep, n_steps - n_steps % kstep)
     cfg = with_overrides(BiharmonicConfig(), nelemd=nelemd_per_device * n,
                          nlev=nlev, qsize=qsize, dtype=dtype)
     m = meshmod.make_mesh(n)

@@ -80,7 +80,9 @@ def _dss_resident_kernel(l_ref, w_ref, ql_ref, qc_ref, qr_ref, out_ref, *,
     j = r % npg
     m0 = (j == 0).astype(q2.dtype)
     m3 = (j == npg - 1).astype(q2.dtype)
-    shift = 4 * npg - 3  # 13 at np=4: j=0 row r pairs with j=3 row r-13
+    # element ge's j=0 row r = npg^2*ge + npg*i pairs with its left
+    # neighbor's j=npg-1 row r - (npg^2 - npg + 1); 13 at np=4
+    shift = npg * npg - npg + 1
 
     f32 = q2.dtype
     if precision == "bf16x3":
@@ -144,18 +146,22 @@ def _pick_geometry(eg, gn, ncol, g, itemsize):
         B = cand
         if cand * gn * ncol * itemsize <= 3 * 2**20 + 2**19:
             break
-    # ncol block: Mosaic requires the lane-dim block be a multiple of 128
-    # (callers pad ncol to one), so pick the largest multiple-of-128
-    # divisor whose window working set (carry + temp + center in/out)
-    # fits the budget; 128 always divides the padded ncol
+    return B, hg, _pick_ncol_blk(B + 2 * hg, gn, ncol, itemsize)
+
+
+def _pick_ncol_blk(w_groups, gn, ncol, itemsize):
+    """Largest multiple-of-128 divisor of (the 128-padded) ncol whose
+    window working set (carry + dot temp + center in/out, ~3x the window)
+    fits a ~5 MB budget.  Mosaic requires lane-dim blocks be multiples of
+    128; 128 always divides the padded ncol."""
     m = ncol // 128
     ncol_blk = 128
     for d in sorted((d for d in range(1, m + 1) if m % d == 0),
                     reverse=True):
-        if (B + 2 * hg) * gn * d * 128 * itemsize * 3 <= 5 * 2**20:
+        if w_groups * gn * d * 128 * itemsize * 3 <= 5 * 2**20:
             ncol_blk = d * 128
             break
-    return B, hg, ncol_blk
+    return ncol_blk
 
 
 @functools.partial(
@@ -313,8 +319,9 @@ def apply_dss_resident_windowed(lw, ww, q_ext, nsteps: int, *,
     ww (nb, (B+2hg)*gn, 1).  Windows are pure block offsets: q_ext is
     left/right padded by B-hg garbage groups so the B-group centers land
     on block boundaries while the hg-group halo refs index in hg-units
-    (requires hg | B).  Validity: nsteps <= hg * (gn/16) elements of halo
-    per side.  Returns the owned (eg_loc, gn, ncol)."""
+    (requires hg | B).  Validity: nsteps <= hg * g elements of halo per
+    side (g = gn / npg^2 elements per group).  Returns the owned
+    (eg_loc, gn, ncol)."""
     egx, gn_, ncol0 = q_ext.shape
     eg = egx - 2 * hg
     B = b_groups
@@ -327,14 +334,7 @@ def apply_dss_resident_windowed(lw, ww, q_ext, nsteps: int, *,
     if pad:
         q_ext = jnp.pad(q_ext, ((pad, pad), (0, 0), (0, 0)))
     W = B + 2 * hg
-    # lane-dim block: largest multiple-of-128 divisor within the budget
-    m = ncol // 128
-    ncol_blk = 128
-    for d in sorted((d for d in range(1, m + 1) if m % d == 0),
-                    reverse=True):
-        if W * gn * d * 128 * q_ext.dtype.itemsize * 3 <= 5 * 2**20:
-            ncol_blk = d * 128
-            break
+    ncol_blk = _pick_ncol_blk(W, gn, ncol, q_ext.dtype.itemsize)
     q2 = q_ext.reshape((eg + 2 * B) * gn, ncol)
     r = B // hg  # halo-ref block stride in hg-units
     hspec = lambda off: pl.BlockSpec(
