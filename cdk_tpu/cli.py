@@ -50,8 +50,8 @@ def main(argv=None) -> int:
 
     runp = sub.add_parser("run", help="run a kernel benchmark + verification")
     runp.add_argument("kernel",
-                      choices=["biharmonic", "biharmonic_dss", "mpdata",
-                               "cke", "all"])
+                      choices=["biharmonic", "biharmonic_dss",
+                               "biharmonic_dss2d", "mpdata", "cke", "all"])
     runp.add_argument("--dtype", default=None,
                       choices=["float32", "float64", "bfloat16"])
     runp.add_argument("--iters", type=int, default=10)
@@ -73,8 +73,8 @@ def main(argv=None) -> int:
         "and save the final state (npz)",
     )
     intp.add_argument("kernel",
-                      choices=["biharmonic", "biharmonic_dss", "mpdata",
-                               "cke"])
+                      choices=["biharmonic", "biharmonic_dss",
+                               "biharmonic_dss2d", "mpdata", "cke"])
     intp.add_argument("--steps", type=int, default=100)
     intp.add_argument("--variant", default="reference_jnp")
     intp.add_argument("--dtype", default="float32",

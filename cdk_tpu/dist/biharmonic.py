@@ -267,6 +267,155 @@ def make_dist_loop_dss(cfg, mesh: Mesh, overlap: bool = False):
 
     return loop
 
+def make_dist_step_dss2d(cfg, mesh: Mesh):
+    """2-D element-grid decomposition of the torus-DSS biharmonic
+    (kernels/biharmonic/dss2d.py): elements live on an (ex, ey) torus,
+    the device mesh splits BOTH grid axes, and the DSS runs as its two
+    edge-sum passes — a j-direction boundary-column ppermute along the
+    mesh's `ej` axis, then an i-direction boundary-row ppermute of the
+    already j-summed field along `ei`.  The second pass's rows carry the
+    first pass's corner partial sums, so 4-way corner dofs assemble
+    exactly through two nearest-neighbor exchanges with no diagonal
+    communication (the two-pass identity documented in dss2d.dss2d_sum).
+
+    Layout: q travels and is carried as (ex, ey, npts, ncol) sharded
+    P(ei, ej); the element-local Laplacians run as the per-element
+    fused-operator einsum on the locally flattened batch.  (The grouped
+    bd8 full-tile apply is a layout the 2-D assembly cannot view into
+    without a measured-expensive relayout — the 1-D family's grouped-DSS
+    trick needs neighbor elements contiguous in ONE direction; 2-D has
+    two.  At miniapp sizes the per-element einsum is the shipped-size
+    champion anyway; a grouped 2-D assembly is recorded future work.)
+
+    Returns (shard_inputs, step, gather):
+      shard_inputs(data) -> (q5 sharded, aux=(L5, w5)) — operators and
+        inverse assembled mass are static per problem, built once
+        (untimed staging), sharded so no spheremp dofs travel at step
+        time;
+      step(q5, aux) -> next q5;
+      gather(q5) -> full (e, q, k, np, np) qtens on host."""
+    from cdk_tpu.kernels.biharmonic.dss2d import dss2d_weights, torus_shape
+    from cdk_tpu.kernels.biharmonic.operator import (
+        apply_operator,
+        build_element_operator,
+    )
+
+    ax_i, ax_j = mesh.axis_names
+    pi, pj = mesh.devices.shape
+    rr = cfg.np_dtype(cfg.rrearth)
+    npg = cfg.np_gll
+    npts, ncol = cfg.npts, cfg.ncol
+    ex, ey = torus_shape(cfg.nelemd)
+    if ex % pi or ey % pj:
+        raise ValueError(
+            f"element grid {ex}x{ey} not divisible by mesh {pi}x{pj}"
+        )
+    precision = "highest" if cfg.dtype == "float64" else "high"
+    gspec = P(ax_i, ax_j)
+    gshard = NamedSharding(mesh, gspec)
+
+    def shard_inputs(data: BiharmonicData):
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        w = dss2d_weights(data.spheremp, ex, ey)
+        L5 = L.reshape(ex, ey, npts, npts)
+        w5 = w.reshape(ex, ey, npts, 1)
+        q5 = to_lane_layout(data.qtens).reshape(ex, ey, npts, ncol)
+        return (
+            jax.device_put(q5, gshard),
+            (jax.device_put(L5, gshard), jax.device_put(w5, gshard)),
+        )
+
+    perm_fwd_j = [(p, (p + 1) % pj) for p in range(pj)]
+    perm_bwd_j = [(p, (p - 1) % pj) for p in range(pj)]
+    perm_fwd_i = [(p, (p + 1) % pi) for p in range(pi)]
+    perm_bwd_i = [(p, (p - 1) % pi) for p in range(pi)]
+
+    def _apply(L5, q5):
+        exl, eyl = q5.shape[:2]
+        out = apply_operator(
+            L5.reshape(exl * eyl, npts, npts),
+            q5.reshape(exl * eyl, npts, ncol),
+            precision,
+        )
+        return out.reshape(exl, eyl, npts, ncol)
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(gspec, (gspec, gspec)),
+        out_specs=gspec,
+        check_vma=False,
+    )
+    def step(q5, aux):
+        L5, w5 = aux
+        s = _apply(L5, q5)
+        exl, eyl = s.shape[:2]
+        s6 = s.reshape(exl, eyl, npg, npg, ncol)      # (a, b, i, j, c)
+
+        # ---- pass 1: j-direction edge sum (full columns, corners in) ---
+        j0 = s6[:, :, :, 0]                            # (a, b, i, c)
+        jl = s6[:, :, :, -1]
+        from_left = lax.ppermute(jl[:, -1:], ax_j, perm_fwd_j)
+        from_right = lax.ppermute(j0[:, :1], ax_j, perm_bwd_j)
+        left = jnp.concatenate([from_left, jl[:, :-1]], axis=1)
+        right = jnp.concatenate([j0[:, 1:], from_right], axis=1)
+        t6 = jnp.concatenate(
+            [
+                (j0 + left)[:, :, :, None],
+                s6[:, :, :, 1:-1],
+                (jl + right)[:, :, :, None],
+            ],
+            axis=3,
+        )
+
+        # ---- pass 2: i-direction edge sum OF THE j-SUMMED field --------
+        i0 = t6[:, :, 0]                               # (a, b, j, c)
+        il = t6[:, :, -1]
+        from_up = lax.ppermute(il[-1:], ax_i, perm_fwd_i)
+        from_down = lax.ppermute(i0[:1], ax_i, perm_bwd_i)
+        up = jnp.concatenate([from_up, il[:-1]], axis=0)
+        down = jnp.concatenate([i0[1:], from_down], axis=0)
+        u6 = jnp.concatenate(
+            [
+                (i0 + up)[:, :, None],
+                t6[:, :, 1:-1],
+                (il + down)[:, :, None],
+            ],
+            axis=2,
+        )
+        s2 = u6.reshape(exl, eyl, npts, ncol) * w5
+        return _apply(L5, s2)
+
+    def gather(q5):
+        import numpy as np
+
+        from cdk_tpu.kernels.biharmonic.problem import from_lane_layout
+
+        q_lane = jnp.asarray(q5).reshape(cfg.nelemd, npts, ncol)
+        return np.asarray(jax.device_get(from_lane_layout(q_lane, cfg)))
+
+    return shard_inputs, step, gather
+
+
+def make_dist_loop_dss2d(cfg, mesh: Mesh):
+    """n chained torus-DSS steps under ONE jit (scan over the two-ppermute
+    step) — one dispatch per run, mirroring make_dist_loop_dss."""
+    _, step, _ = make_dist_step_dss2d(cfg, mesh)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(q5, aux, n: int):
+        def body(q, _):
+            return step(q, aux), None
+
+        q_out, _ = jax.lax.scan(body, q5, None, length=n)
+        return q_out
+
+    return loop
+
+
 def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
                              precision: str | None = None):
     """Communication-avoiding dist DSS loop: exchange B halo GROUPS once

@@ -34,6 +34,28 @@ def make_mesh(n_devices: int | None = None, axis: str = DOMAIN_AXIS) -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def make_mesh2d(n_devices: int | None = None,
+                shape: tuple[int, int] | None = None,
+                axes: tuple[str, str] = ("ei", "ej")) -> Mesh:
+    """2-D device mesh over the element-GRID axes for the torus-DSS
+    decomposition (dist.biharmonic.make_dist_step_dss2d): axis `ei` splits
+    element rows (i-direction exchanges), `ej` element columns
+    (j-direction exchanges).  With no explicit shape, the device count is
+    factorized most-square (8 -> 2x4)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if shape is None:
+        pi = int(n**0.5)
+        while n % pi:
+            pi -= 1
+        shape = (pi, n // pi)
+    if shape[0] * shape[1] > len(devs):
+        raise ValueError(f"requested {shape} devices, have {len(devs)}")
+    return Mesh(
+        np.asarray(devs[: shape[0] * shape[1]]).reshape(shape), axes
+    )
+
+
 def domain_sharding(mesh: Mesh, rank: int, sharded_dim: int = 0):
     """NamedSharding splitting `sharded_dim` of a rank-`rank` array over the
     mesh's domain axis, replicating the rest."""

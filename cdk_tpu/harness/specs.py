@@ -192,6 +192,14 @@ def _specs() -> dict[str, KernelSpec]:
             _verify_biharmonic_dss, lambda c: c.grid_points, 280,
             _scan_biharmonic,
         ),
+        # two-application biharmonic with the 2-D torus DSS (edge + 4-way
+        # corner assembly — the full HOMME DSS structure; kernels/
+        # biharmonic/dss2d.py defines the topology)
+        "biharmonic_dss2d": KernelSpec(
+            "biharmonic_dss2d", cfgmod.BiharmonicConfig,
+            bi_problem.init_data, _verify_biharmonic_dss,
+            lambda c: c.grid_points, 280, _scan_biharmonic,
+        ),
         "mpdata": KernelSpec(
             "mpdata", cfgmod.MpdataConfig, mp_problem.init_data,
             _verify_mpdata, lambda c: c.grid_points, 60, _scan_mpdata,
