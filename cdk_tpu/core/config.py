@@ -177,8 +177,12 @@ PRODUCTION = {
     ),
     "mpdata": lambda: MpdataConfig(nslices=8192, dtype="float32",
                                    device_init=True),
-    # the DSS-coupled family shares the biharmonic problem/scale
+    # the DSS-coupled families share the biharmonic problem/scale
+    # (5400 elements -> a 72x75 torus for the 2-D family)
     "biharmonic_dss": lambda: BiharmonicConfig(
+        nelemd=5400, qsize=10, dtype="float32", device_init=True
+    ),
+    "biharmonic_dss2d": lambda: BiharmonicConfig(
         nelemd=5400, qsize=10, dtype="float32", device_init=True
     ),
     "cke": lambda: CkeConfig(

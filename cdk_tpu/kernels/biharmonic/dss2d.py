@@ -55,14 +55,18 @@ from cdk_tpu.kernels.biharmonic.reference import laplace_sphere_wk
 
 
 def torus_shape(nelemd: int) -> tuple[int, int]:
-    """Most-square (ex, ey) factorization with ex <= ey (shipped nelemd=16
-    -> 4x4; production 5400 -> 72x75).  Prime counts degenerate to the
-    1-D ring topology (ex=1: the i-direction pairs an element with itself
-    through the wrap, which the assembly handles but tests avoid)."""
-    ex = int(nelemd**0.5)
-    while nelemd % ex:
-        ex -= 1
-    return ex, nelemd // ex
+    """Most-square (ex, ey) factorization with ey <= ex (shipped nelemd=16
+    -> 4x4; production 5400 -> 75x72).  ey is the fast (element-row)
+    direction the flattening e = a*ey + b keeps contiguous — giving it the
+    smaller, more-composite factor lets the grouped bd8 apply tile rows
+    with g=8 element groups (75x72: ey % 8 == 0 where 72x75 would not be).
+    Prime counts degenerate to the 1-D ring topology (ey=1: the
+    j-direction pairs an element with itself through the wrap, which the
+    assembly handles but tests avoid)."""
+    ey = int(nelemd**0.5)
+    while nelemd % ey:
+        ey -= 1
+    return nelemd // ey, ey
 
 
 def _edge_pair_sum(s: jnp.ndarray, eax: int, gax: int) -> jnp.ndarray:
@@ -230,3 +234,133 @@ def make_fused_dss2d_f32(cfg):
 )
 def make_fused_dss2d_bf16(cfg):
     return _fused_dss2d_forms(cfg, "default")
+
+
+def dss2d_grouped(s_g: jnp.ndarray, w6: jnp.ndarray, g: int, npg: int,
+                  ex: int, ey: int) -> jnp.ndarray:
+    """Torus DSS in the bd8 GROUPED (e/g, g*npts, ncol) layout, g
+    elements per group contiguous along the ey (row) direction — the
+    zero-relayout companion of operator.apply_operator_grouped (reshaping
+    to the per-element lane layout inside a scan body forces a physical
+    relayout of the whole field every step; the dss.dss_ring_grouped
+    lesson, here in two directions):
+
+      * j pass: in-group static slices on the element axis; group-edge
+        elements read the mod-(ey/g) rolled neighbor group (the roll on
+        the within-row group axis carries the periodic b-wrap, since
+        groups tile each row exactly);
+      * i pass: whole rows are ±1 rolls on the leading row axis of the
+        j-summed field (corner partials ride along, as in dss2d_sum).
+
+    w6: (ex, ey/g, g, npg, npg, 1) inverse assembled mass (precompute with
+    `w.reshape(ex, ey//g, g, npg, npg)[..., None]`).  Identical arithmetic
+    to dss2d_lane — bitwise-equal outputs (tested)."""
+    ngrp, gn, ncol = s_g.shape
+    r = ey // g
+    s6 = s_g.reshape(ex, r, g, npg, npg, ncol)   # (a, r, m, i, j, c)
+
+    # ---- pass 1: j-direction (within rows, mostly in-group) -----------
+    j0 = s6[:, :, :, :, 0]                        # (a, r, m, i, c)
+    jl = s6[:, :, :, :, -1]
+    left = jnp.concatenate(
+        [jnp.roll(jl, 1, axis=1)[:, :, -1:], jl[:, :, :-1]], axis=2
+    )
+    right = jnp.concatenate(
+        [j0[:, :, 1:], jnp.roll(j0, -1, axis=1)[:, :, :1]], axis=2
+    )
+    t6 = jnp.concatenate(
+        [
+            jnp.expand_dims(j0 + left, 4),
+            s6[:, :, :, :, 1:-1],
+            jnp.expand_dims(jl + right, 4),
+        ],
+        axis=4,
+    )
+
+    # ---- pass 2: i-direction (across rows) of the j-summed field ------
+    i0 = t6[:, :, :, 0]                           # (a, r, m, j, c)
+    il = t6[:, :, :, -1]
+    up = jnp.roll(il, 1, axis=0)
+    down = jnp.roll(i0, -1, axis=0)
+    u6 = jnp.concatenate(
+        [
+            jnp.expand_dims(i0 + up, 3),
+            t6[:, :, :, 1:-1],
+            jnp.expand_dims(il + down, 3),
+        ],
+        axis=3,
+    )
+    return (u6 * w6).reshape(ngrp, gn, ncol)
+
+
+@register(
+    "biharmonic_dss2d",
+    "fused_operator_bd8",
+    "two grouped block-diagonal (full-MXU-tile) operator applications with "
+    "the torus-DSS assembly run IN the grouped layout (dss2d_grouped) — "
+    "the production apply form; groups tile element rows, so torus_shape "
+    "gives ey the 8-divisible factor",
+)
+def make_fused_dss2d_bd8(cfg):
+    from cdk_tpu.kernels.biharmonic.operator import (
+        apply_operator_grouped,
+        blockdiag_group_operator,
+        build_element_operator,
+    )
+
+    rr = cfg.np_dtype(cfg.rrearth)
+    npg = cfg.np_gll
+    npts = cfg.npts
+    ex, ey = torus_shape(cfg.nelemd)
+    g = 8
+    while ey % g:
+        g -= 1
+    precision = "highest" if cfg.dtype == "float64" else "high"
+
+    def _build(data):
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        w = dss2d_weights(data.spheremp, ex, ey)
+        w6 = w.reshape(ex, ey // g, g, npg, npg)[..., None]
+        return blockdiag_group_operator(L, g), w6
+
+    @jax.jit
+    def prepare(data: BiharmonicData):
+        return _build(data)
+
+    @jax.jit
+    def step(aux, data: BiharmonicData) -> jnp.ndarray:
+        lbd, w6 = aux
+        q = to_lane_layout(data.qtens)
+        s = apply_operator_grouped(lbd, q, precision)
+        eg, gn, _ = lbd.shape
+        ncol = q.shape[-1]
+        s = dss2d_grouped(s.reshape(eg, gn, ncol), w6, g, npg, ex, ey)
+        out = apply_operator_grouped(lbd, s.reshape(q.shape), precision)
+        return from_lane_layout(out, cfg)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
+        lbd, w6 = _build(data)
+        eg, gn, _ = lbd.shape
+        q_lane = to_lane_layout(data.qtens)
+        ncol = q_lane.shape[-1]
+
+        # grouped-layout carry: apply and assembly both run in (e/g,
+        # g*npts, ncol), so the scan body never relayouts the field
+        def body(qg, _):
+            s = jnp.einsum("bop,bpc->boc", lbd, qg,
+                           preferred_element_type=qg.dtype,
+                           precision=precision)
+            s = dss2d_grouped(s, w6, g, npg, ex, ey)
+            out = jnp.einsum("bop,bpc->boc", lbd, s,
+                             preferred_element_type=qg.dtype,
+                             precision=precision)
+            return out, None
+
+        qg0 = q_lane.reshape(eg, gn, ncol)
+        out, _ = jax.lax.scan(body, qg0, None, length=n)
+        return from_lane_layout(out.reshape(q_lane.shape), cfg)
+
+    return {"prepare": prepare, "step": step, "loop": loop}

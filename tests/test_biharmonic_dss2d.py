@@ -150,20 +150,43 @@ def test_dss2d_reduces_to_ring_when_ex_is_1():
                                rtol=1e-14)
 
 
+@pytest.mark.parametrize("exy,g", [((4, 4), 4), ((3, 8), 4), ((2, 6), 3)])
+def test_dss2d_grouped_matches_lane(exy, g):
+    """The grouped-layout torus assembly (bd8 loop's zero-relayout form)
+    computes bitwise the same assembly as dss2d_lane."""
+    import jax.numpy as jnp
+
+    ex, ey = exy
+    e, npg, ncol = ex * ey, 4, 10
+    npts = npg * npg
+    rng = np.random.default_rng(11)
+    s_lane = jnp.asarray(rng.standard_normal((e, npts, ncol)),
+                         dtype=jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, (ex * ey, npg, npg)),
+                    dtype=jnp.float32)
+    ref = dss2d.dss2d_lane(s_lane, w.reshape(e, npts, 1), ex, ey, npg)
+    w6 = w.reshape(ex, ey // g, g, npg, npg)[..., None]
+    out = dss2d.dss2d_grouped(
+        s_lane.reshape(e // g, g * npts, ncol), w6, g, npg, ex, ey
+    ).reshape(e, npts, ncol)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
 def test_dss2d_loops_match_chained_steps():
     from cdk_tpu.core.registry import _materialize, get
 
     cfg = with_overrides(CFG, nelemd=8, nlev=4, qsize=2)
     data = problem.init_data(cfg)
-    step2, aux, loop = _materialize(
-        get("biharmonic_dss2d", "fused_operator"), cfg, data)
-    assert loop is not None
-    import dataclasses
+    for name in ("fused_operator", "fused_operator_bd8"):
+        step2, aux, loop = _materialize(
+            get("biharmonic_dss2d", name), cfg, data)
+        assert loop is not None
+        import dataclasses
 
-    q = data.qtens
-    for _ in range(3):
-        q = step2(aux, dataclasses.replace(data, qtens=q))
-    assert rel_l2(np.asarray(loop(data, 3)), np.asarray(q)) < 1e-6
+        q = data.qtens
+        for _ in range(3):
+            q = step2(aux, dataclasses.replace(data, qtens=q))
+        assert rel_l2(np.asarray(loop(data, 3)), np.asarray(q)) < 1e-6, name
 
 
 def test_dss2d_variants_through_harness():
