@@ -194,6 +194,10 @@ def main(argv=None) -> int:
                     nelemd_per_device=args.nelemd_per_device,
                     n_steps=args.steps, overlap=overlap,
                 )
+                scaling.weak_scaling_dss2d(
+                    nelemd_per_device=args.nelemd_per_device,
+                    n_steps=args.steps,
+                )
                 if args.overlap_gain:
                     scaling.overlap_gain_biharmonic(
                         n_devices=devices[-1],

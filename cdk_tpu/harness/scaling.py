@@ -289,6 +289,73 @@ def weak_scaling_biharmonic(
     return points
 
 
+def weak_scaling_dss2d(
+    mesh_shapes=((1, 1), (1, 2), (2, 2), (2, 4)),
+    nelemd_per_device: int = 16,
+    nlev: int = 72,
+    qsize: int = 40,
+    dtype: str = "float32",
+    n_steps: int = 10,
+    quiet: bool = False,
+) -> list[ScalePoint]:
+    """2-D torus-DSS weak scaling: the element GRID grows with the 2-D
+    device mesh (both axes), per step each shard runs the two
+    nearest-neighbor ppermute passes (j columns along ej, i rows of the
+    j-summed field along ei).  Element counts are chosen so each shard
+    keeps a fixed (2ex0 x 2ey0)-per-device grid patch."""
+    import time
+
+    from cdk_tpu.core.config import BiharmonicConfig
+    from cdk_tpu.dist import biharmonic as dist_bi
+    from cdk_tpu.kernels.biharmonic import problem
+    from cdk_tpu.kernels.biharmonic.dss2d import torus_shape
+
+    say = (lambda *a: None) if quiet else print
+    points: list[ScalePoint] = []
+    base = None
+    ex0, ey0 = torus_shape(nelemd_per_device)
+    for pi, pj in mesh_shapes:
+        n = pi * pj
+        if n > len(jax.devices()):
+            continue
+        # grow the torus with the mesh, keeping torus_shape's own
+        # factorization consistent with the mesh (ex multiple of pi, ey
+        # of pj): nelemd = (ex0*pi) * (ey0*pj) need not re-factorize to
+        # that grid, so verify and fall back to a square-per-device patch
+        nelemd = (ex0 * pi) * (ey0 * pj)
+        ex, ey = torus_shape(nelemd)
+        if ex % pi or ey % pj:
+            nelemd = (2 * pi) * (2 * pj) * 4
+            ex, ey = torus_shape(nelemd)
+            if ex % pi or ey % pj:
+                continue
+        cfg = with_overrides(BiharmonicConfig(), nelemd=nelemd, nlev=nlev,
+                             qsize=qsize, dtype=dtype)
+        m = meshmod.make_mesh2d(shape=(pi, pj))
+        shard_inputs, step, _ = dist_bi.make_dist_step_dss2d(cfg, m)
+        q_s, aux = shard_inputs(problem.init_data(cfg))
+        fetch_sync(step(q_s, aux))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q = q_s
+            for _ in range(n_steps):
+                q = step(q, aux)
+            fetch_sync(q)
+            best = min(best, (time.perf_counter() - t0) / n_steps)
+        pts = cfg.grid_points / best
+        per_dev = pts / n
+        base = base or per_dev
+        eff = per_dev / base
+        points.append(ScalePoint(n, cfg.nelemd, best, pts, eff))
+        say(
+            f" weak-scaling biharmonic_dss2d mesh={pi}x{pj} "
+            f"nelemd={cfg.nelemd:<5d} {best * 1e6:9.2f} us/step "
+            f"{pts / 1e6:10.1f} M pts/s eff={eff * 100:5.1f}%"
+        )
+    return points
+
+
 def overlap_gain_biharmonic(
     n_devices: int = 8,
     nelemd_per_device: int = 16,
