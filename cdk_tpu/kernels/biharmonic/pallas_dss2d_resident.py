@@ -1,0 +1,316 @@
+"""VMEM-resident k-step torus-DSS biharmonic: the deep-halo chain on the
+2-D element grid.
+
+The 2-D DSS couples element (a,b) to its four neighbors per step, so the
+1-D ring chain (pallas_dss_resident.py) does not apply directly.  The
+trick that recovers it: make the window unit a FULL ELEMENT ROW (a
+complete j-ring of ey elements).  Then
+
+  * the j-direction assembly is fully window-local — in the concatenated
+    lane-row layout (L = ey·np² sublane rows per element row, p = 4i+j
+    within an element), element b's j=0 row r pairs with its left
+    neighbor's j=np-1 row at r-13, and the row's periodic wrap (b=0 ↔
+    b=ey-1) is the SAME shift taken at distance L-13 on the first
+    element's rows — so the whole pass is four masked static sublane
+    shifts, no gather, no reshape;
+  * the i-direction pairs (a,b,i=0) with (a-1,b,i=np-1) at exactly
+    r-(L-12): two more masked shifts OF THE j-SUMMED field (the corner
+    partials ride along — the dss2d_sum two-pass identity), and it is the
+    ONLY direction that consumes halo: k in-kernel steps need k halo
+    element rows per side, the mpdata-kloop argument on the row axis.
+
+HBM traffic drops from (read+write the field) per step — the binding cost
+of both XLA loop forms, 8.6-9.3 ms/step at production — to once per k
+steps; the applies run as the bd8 grouped MXU dots (groups tile rows:
+torus_shape gives ey the 8-divisible factor).  The i-ring's global
+periodicity lives in the mod-ex halo-window gather indices, exactly where
+the 1-D chain keeps its ring wrap.
+
+Precision: "highest" (bf16x6 dots) for the exact form, the manual
+hi/lo-bf16 3-pass split for the x3 speed form — identical policy to
+pallas_dss_resident.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cdk_tpu.core.platform import pallas_interpret
+from cdk_tpu.core.registry import register
+from cdk_tpu.kernels.biharmonic.dss2d import dss2d_weights, torus_shape
+from cdk_tpu.kernels.biharmonic.operator import (
+    blockdiag_group_operator,
+    build_element_operator,
+)
+from cdk_tpu.kernels.biharmonic.pallas_dss_resident import (
+    _pick_ncol_blk,
+    _shift_down,
+    _shift_up,
+)
+from cdk_tpu.kernels.biharmonic.problem import (
+    BiharmonicData,
+    from_lane_layout,
+    to_lane_layout,
+)
+
+KMAX = 4  # request cap; the geometry picker clamps further by VMEM
+
+
+def _dss2d_resident_kernel(l_ref, w_ref, ql_ref, qc_ref, qr_ref, out_ref, *,
+                           nsteps, precision, gn, hg_rows, npg, row_rows):
+    """Window = (B + 2k) element rows; l_ref (1, Wg, gn, gn) grouped
+    operators, w_ref (1, Wg*gn, 1) 2-D inverse assembled mass, q refs =
+    k-row halos + B-row center; row_rows = L = ey*np² sublane rows per
+    element row."""
+    Wg = l_ref.shape[1]
+    q2 = jnp.concatenate([ql_ref[...], qc_ref[...], qr_ref[...]], axis=0)
+    rows = q2.shape[0]
+    w2 = w_ref[0]
+    L = row_rows
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    rl = r % L                      # position within the element row
+    p = r % (npg * npg)             # GLL point within the element
+    dt = q2.dtype
+    # j pass: j = p % npg boundary masks, split inner vs row-wrap
+    j0 = (r % npg == 0)
+    j3 = (r % npg == npg - 1)
+    first_e = rl < npg * npg
+    last_e = rl >= L - npg * npg
+    m_j0_in = (j0 & ~first_e).astype(dt)
+    m_j0_wr = (j0 & first_e).astype(dt)
+    m_j3_in = (j3 & ~last_e).astype(dt)
+    m_j3_wr = (j3 & last_e).astype(dt)
+    # i pass: i = p // npg boundary masks (shift distance L - npg*(npg-1))
+    m_i0 = (p < npg).astype(dt)
+    m_i3 = (p >= npg * (npg - 1)).astype(dt)
+    sj = npg * npg - npg + 1        # 13 at np=4
+    si = L - npg * (npg - 1)        # partner row distance across rows
+
+    if precision == "bf16x3":
+        ls = []
+        for b in range(Wg):
+            Lb = l_ref[0, b]
+            L_hi = Lb.astype(jnp.bfloat16)
+            L_lo = (Lb - L_hi.astype(dt)).astype(jnp.bfloat16)
+            ls.append((L_hi, L_lo))
+
+        def apply_all(q):
+            outs = []
+            for b in range(Wg):
+                L_hi, L_lo = ls[b]
+                x = q[b * gn:(b + 1) * gn]
+                x_hi = x.astype(jnp.bfloat16)
+                x_lo = (x - x_hi.astype(dt)).astype(jnp.bfloat16)
+                outs.append(
+                    jnp.dot(L_hi, x_hi, preferred_element_type=dt)
+                    + jnp.dot(L_hi, x_lo, preferred_element_type=dt)
+                    + jnp.dot(L_lo, x_hi, preferred_element_type=dt)
+                )
+            return jnp.concatenate(outs, axis=0)
+    else:
+
+        def apply_all(q):
+            return jnp.concatenate(
+                [
+                    jnp.dot(l_ref[0, b], q[b * gn:(b + 1) * gn],
+                            precision=precision,
+                            preferred_element_type=dt)
+                    for b in range(Wg)
+                ],
+                axis=0,
+            )
+
+    def body(_, q):
+        s = apply_all(q)
+        # j pass (window-local; wrap = the same pairing at distance L-sj)
+        t = (s
+             + m_j0_in * _shift_down(s, sj)
+             + m_j0_wr * _shift_up(s, L - sj)
+             + m_j3_in * _shift_up(s, sj)
+             + m_j3_wr * _shift_down(s, L - sj))
+        # i pass of the j-summed field (consumes one halo row per side)
+        d = (t
+             + m_i0 * _shift_down(t, si)
+             + m_i3 * _shift_up(t, si)) * w2
+        return apply_all(d)
+
+    q2 = jax.lax.fori_loop(0, nsteps, body, q2)
+    out_ref[...] = q2[hg_rows:rows - hg_rows]
+
+
+def _geometry(ex, ey, g, gn, ncol, itemsize, nsteps):
+    """-> (k steps per call, B center rows, ncol_blk).  Window = B + 2k
+    element rows of gb = ey/g groups each; clamp k so the window field +
+    operators stay ~10 MB under the 16 MB scoped-VMEM budget (an OOM
+    crash-wedges the remote tunnel — memory notes)."""
+    gb = ey // g
+    B = 1
+    for k in range(min(nsteps, KMAX), 0, -1):
+        wg = (B + 2 * k) * gb
+        ncol_blk = _pick_ncol_blk(wg, gn, ncol, itemsize)
+        field = wg * gn * ncol_blk * itemsize * 3
+        ops = wg * gn * gn * itemsize * 2
+        if field + ops <= 10 * 2**20:
+            return k, B, ncol_blk
+    return 1, B, _pick_ncol_blk((B + 2) * gb, gn, ncol, itemsize)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsteps", "precision", "g", "npg", "interpret"),
+)
+def apply_dss2d_resident(lbd, w2, qg, nsteps: int, *, g: int, npg: int,
+                         precision: str = "highest",
+                         interpret: bool = False):
+    """nsteps chained torus-DSS-biharmonic steps in-kernel.
+
+    lbd: (eg, gn, gn) grouped operators (groups tile element rows);
+    w2: (eg*gn, 1) 2-D inverse assembled mass in lane-row order;
+    qg: (eg, gn, ncol) grouped tracer.  nsteps must be <= the geometry's
+    per-call k (callers chain via scan; see the loop form)."""
+    eg, gn, ncol0 = qg.shape
+    ex, ey = _torus_of(eg, gn, npg, g)
+    gb = ey // g
+    ncol = -(-ncol0 // 128) * 128  # lane-pad (zero columns are fixed points)
+    k, B, ncol_blk = _geometry(ex, ey, g, gn, ncol, qg.dtype.itemsize,
+                               nsteps)
+    assert nsteps <= k, (nsteps, k)
+    if ncol != ncol0:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, ncol - ncol0)))
+    nb = ex // B
+    Wg = (B + 2 * k) * gb
+
+    # halo/window gathers in GROUP units (rows of gb groups; mod-ex wrap)
+    def row_groups(i0, nrows):
+        return [((a % ex) * gb + t)
+                for a in range(i0, i0 + nrows) for t in range(gb)]
+
+    idx_l = np.array(sum((row_groups(i * B - k, k) for i in range(nb)), []))
+    idx_r = np.array(sum((row_groups((i + 1) * B, k) for i in range(nb)),
+                         []))
+    idx_w = np.array(sum((row_groups(i * B - k, B + 2 * k)
+                          for i in range(nb)), []))
+    ql = jnp.take(qg, idx_l, axis=0).reshape(nb * k * gb * gn, ncol)
+    qr = jnp.take(qg, idx_r, axis=0).reshape(nb * k * gb * gn, ncol)
+    q2 = qg.reshape(eg * gn, ncol)
+    lw = jnp.take(lbd, idx_w, axis=0).reshape(nb, Wg, gn, gn)
+    ww = jnp.take(w2.reshape(eg, gn, 1), idx_w, axis=0).reshape(
+        nb, Wg * gn, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_dss2d_resident_kernel, nsteps=nsteps,
+                          precision=precision, gn=gn,
+                          hg_rows=k * gb * gn, npg=npg,
+                          row_rows=gb * gn),
+        out_shape=jax.ShapeDtypeStruct((eg * gn, ncol), qg.dtype),
+        grid=(nb, ncol // ncol_blk),
+        in_specs=[
+            pl.BlockSpec((1, Wg, gn, gn), lambda i, c: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Wg * gn, 1), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * gb * gn, ncol_blk), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * gb * gn, ncol_blk), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * gb * gn, ncol_blk), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B * gb * gn, ncol_blk),
+                               lambda i, c: (i, c),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lw, ww, ql, q2, qr)
+    return out.reshape(eg, gn, ncol)[:, :, :ncol0]
+
+
+def _torus_of(eg, gn, npg, g):
+    nelemd = eg * (gn // (npg * npg))
+    return torus_shape(nelemd)
+
+
+def _dss2d_resident_forms(cfg, precision: str):
+    rr = cfg.np_dtype(cfg.rrearth)
+    ex, ey = torus_shape(cfg.nelemd)
+    g = 8
+    while ey % g:
+        g -= 1
+    npts, ncol, npg = cfg.npts, cfg.ncol, cfg.np_gll
+    interpret = pallas_interpret()
+
+    def _build(data):
+        L = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        lbd = blockdiag_group_operator(L, g)
+        w2 = dss2d_weights(data.spheremp, ex, ey).reshape(
+            cfg.nelemd * npts, 1)
+        return lbd, w2
+
+    @jax.jit
+    def prepare(data: BiharmonicData):
+        return _build(data)
+
+    def _to_grouped(qtens, eg):
+        return to_lane_layout(qtens).reshape(eg, g * npts, ncol)
+
+    def _from_grouped(qg):
+        return from_lane_layout(qg.reshape(cfg.nelemd, npts, ncol), cfg)
+
+    k_geom, _, _ = _geometry(ex, ey, g, g * npts, -(-ncol // 128) * 128,
+                             cfg.np_dtype(0).itemsize, KMAX)
+
+    @jax.jit
+    def step(aux, data: BiharmonicData) -> jnp.ndarray:
+        lbd, w2 = aux
+        qg = _to_grouped(data.qtens, lbd.shape[0])
+        out = apply_dss2d_resident(lbd, w2, qg, 1, g=g, npg=npg,
+                                   precision=precision,
+                                   interpret=interpret)
+        return _from_grouped(out)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
+        lbd, w2 = _build(data)
+        qg = _to_grouped(data.qtens, lbd.shape[0])
+        k = min(k_geom, n)
+        run_k = lambda q, steps: apply_dss2d_resident(
+            lbd, w2, q, steps, g=g, npg=npg, precision=precision,
+            interpret=interpret)
+        if n // k:
+            qg, _ = jax.lax.scan(lambda q, _: (run_k(q, k), None), qg,
+                                 None, length=n // k)
+        if n % k:
+            qg = run_k(qg, n % k)
+        return _from_grouped(qg)
+
+    return {"prepare": prepare, "step": step, "loop": loop}
+
+
+@register(
+    "biharmonic_dss2d",
+    "fused_operator_bd8_resident",
+    "communication-avoiding resident torus-DSS chain: k full steps "
+    "(apply - 2-D DSS - apply) in-kernel over deep-halo element-ROW "
+    "windows; j assembly is window-local masked shifts, i halos amortize "
+    "k-fold ('highest' dots)",
+)
+def make_dss2d_bd8_resident(cfg):
+    return _dss2d_resident_forms(cfg, "highest")
+
+
+@register(
+    "biharmonic_dss2d",
+    "fused_operator_bd8_resident_x3",
+    "resident torus-DSS chain with manual 3-pass bf16 f32-emulation dots "
+    "(half the MXU passes of 'highest')",
+    supports_f64=False,
+)
+def make_dss2d_bd8_resident_x3(cfg):
+    return _dss2d_resident_forms(cfg, "bf16x3")

@@ -189,6 +189,32 @@ def test_dss2d_loops_match_chained_steps():
         assert rel_l2(np.asarray(loop(data, 3)), np.asarray(q)) < 1e-6, name
 
 
+@pytest.mark.parametrize("nelemd", [12, 16])  # (4,3) g=3 and (4,4) g=4
+def test_dss2d_resident_chain_matches_chained_reference(nelemd):
+    """The VMEM-resident torus-DSS chain (k in-kernel steps over element-
+    ROW windows; j assembly window-local, i halos amortized) == chained
+    reference steps at f64.  n=5 exercises the scan(k)+remainder path."""
+    import dataclasses
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(CFG, nelemd=nelemd, nlev=4, qsize=2,
+                         dtype="float64")
+    data = problem.init_data(cfg)
+    ref_step, _, _ = _materialize(
+        get("biharmonic_dss2d", "reference_jnp"), cfg, data)
+    step2, aux, loop = _materialize(
+        get("biharmonic_dss2d", "fused_operator_bd8_resident"), cfg, data)
+    e1 = rel_l2(np.asarray(step2(aux, data)),
+                np.asarray(ref_step((), data)))
+    assert e1 < 1e-13, e1
+    for n in (3, 5):
+        q = data.qtens
+        for _ in range(n):
+            q = ref_step((), dataclasses.replace(data, qtens=q))
+        assert rel_l2(np.asarray(loop(data, n)), np.asarray(q)) < 1e-13, n
+
+
 def test_dss2d_variants_through_harness():
     from cdk_tpu.harness import driver
 
