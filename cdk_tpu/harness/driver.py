@@ -91,6 +91,12 @@ def run_kernel(
         try:
             step2, aux, vloop = registry._materialize(var, cfg, data)
             out = jax.block_until_ready(step2(aux, data))
+        except NotImplementedError as e:
+            # a variant whose stated applicability excludes this config
+            # (e.g. a VMEM-window geometry that cannot fit the problem) is
+            # a SKIP with its reason, not a failure — crashes still fail
+            say(f" {name:<22s}: skipped (unsupported here: {e})")
+            continue
         except Exception as e:
             # a variant that crashes is a FAILED result, not a silent skip
             # (a regression must turn the bench red, not shrink it)

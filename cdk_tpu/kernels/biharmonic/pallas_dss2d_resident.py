@@ -146,9 +146,13 @@ def _dss2d_resident_kernel(l_ref, w_ref, ql_ref, qc_ref, qr_ref, out_ref, *,
 
 def _geometry(ex, ey, g, gn, ncol, itemsize, nsteps):
     """-> (k steps per call, B center rows, ncol_blk).  Window = B + 2k
-    element rows of gb = ey/g groups each; clamp k so the window field +
-    operators stay ~10 MB under the 16 MB scoped-VMEM budget (an OOM
-    crash-wedges the remote tunnel — memory notes)."""
+    element rows of gb = ey/g groups each.  The budget is deliberately
+    tight (6 MB for field×3 + ops×2 against the 16 MB scoped-VMEM limit):
+    the kernel's 6 masked-shift temporaries roughly double the live set,
+    and an over-budget compile crashes the Mosaic helper AND wedges the
+    remote tunnel for ~20 min (measured at production 75x72, where the
+    full-row window is 3456 sublane rows).  Configs that cannot fit even
+    k=1 raise NotImplementedError — use the rowchain forms there."""
     gb = ey // g
     B = 1
     for k in range(min(nsteps, KMAX), 0, -1):
@@ -156,9 +160,12 @@ def _geometry(ex, ey, g, gn, ncol, itemsize, nsteps):
         ncol_blk = _pick_ncol_blk(wg, gn, ncol, itemsize)
         field = wg * gn * ncol_blk * itemsize * 3
         ops = wg * gn * gn * itemsize * 2
-        if field + ops <= 10 * 2**20:
+        if field + ops <= 6 * 2**20:
             return k, B, ncol_blk
-    return 1, B, _pick_ncol_blk((B + 2) * gb, gn, ncol, itemsize)
+    raise NotImplementedError(
+        f"torus-DSS full-row window ({(B + 2) * gb * gn} sublane rows) "
+        f"exceeds the VMEM budget at this size; use the rowchain forms"
+    )
 
 
 @functools.partial(
@@ -314,3 +321,266 @@ def make_dss2d_bd8_resident(cfg):
 )
 def make_dss2d_bd8_resident_x3(cfg):
     return _dss2d_resident_forms(cfg, "bf16x3")
+
+
+# ---------------------------------------------------------------------------
+# The t-carry ROWCHAIN: production-scale fused chain with single-row windows.
+#
+# At production (75x72) the full-row window above is 3456 sublane rows and
+# cannot fit VMEM.  Carrying t = jpass(apply(q)) between steps instead of q
+# recovers the fused chain's steady-state HBM traffic (read 3 rows + write 1
+# per step) with 1-row windows:
+#
+#     t_0     = jpass(apply(q_0))                       [bridge-in kernel]
+#     t_{n+1} = jpass(apply(apply(ipass(t_n)·w)))       [step kernel ×(n-1)]
+#     q_N     = apply(ipass(t_{N-1})·w)                 [bridge-out kernel]
+#
+# The step kernel reads its own t row plus the two neighbor rows (1-row
+# BlockSpecs at i, i+1, i+2 on a wrap-padded array — the torus's i
+# periodicity is two row copies in XLA per step), and the i-pass partners
+# sit at fixed ±12-row offsets inside those neighbors, so the assembly is
+# three small masked shifts; the j-pass stays window-local as above.
+# ---------------------------------------------------------------------------
+
+
+def _masks_j(rows, npg, L, dt):
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    rl = r % L
+    j0 = (r % npg == 0)
+    j3 = (r % npg == npg - 1)
+    first_e = rl < npg * npg
+    last_e = rl >= L - npg * npg
+    return ((j0 & ~first_e).astype(dt), (j0 & first_e).astype(dt),
+            (j3 & ~last_e).astype(dt), (j3 & last_e).astype(dt))
+
+
+def _make_apply(l_ref, gb, gn, precision, dt):
+    if precision == "bf16x3":
+        ls = []
+        for b in range(gb):
+            Lb = l_ref[0, b]
+            L_hi = Lb.astype(jnp.bfloat16)
+            ls.append((L_hi, (Lb - L_hi.astype(dt)).astype(jnp.bfloat16)))
+
+        def apply_all(q):
+            outs = []
+            for b in range(gb):
+                L_hi, L_lo = ls[b]
+                x = q[b * gn:(b + 1) * gn]
+                x_hi = x.astype(jnp.bfloat16)
+                x_lo = (x - x_hi.astype(dt)).astype(jnp.bfloat16)
+                outs.append(
+                    jnp.dot(L_hi, x_hi, preferred_element_type=dt)
+                    + jnp.dot(L_hi, x_lo, preferred_element_type=dt)
+                    + jnp.dot(L_lo, x_hi, preferred_element_type=dt)
+                )
+            return jnp.concatenate(outs, axis=0)
+
+        return apply_all
+
+    def apply_all(q):
+        return jnp.concatenate(
+            [
+                jnp.dot(l_ref[0, b], q[b * gn:(b + 1) * gn],
+                        precision=precision, preferred_element_type=dt)
+                for b in range(gb)
+            ],
+            axis=0,
+        )
+
+    return apply_all
+
+
+def _jpass(y, masks, npg, L):
+    m_j0_in, m_j0_wr, m_j3_in, m_j3_wr = masks
+    sj = npg * npg - npg + 1
+    return (y
+            + m_j0_in * _shift_down(y, sj)
+            + m_j0_wr * _shift_up(y, L - sj)
+            + m_j3_in * _shift_up(y, sj)
+            + m_j3_wr * _shift_down(y, L - sj))
+
+
+def _ipass_w(t_up, t_c, t_dn, w, npg, dt):
+    """i-direction edge sum of the j-assembled field + inverse-mass
+    multiply.  The partner rows sit at fixed small offsets inside the
+    NEIGHBOR rows: center row r with i=0 (p < npg) pairs with t_up's row
+    r + npg(npg−1) (the up-neighbor's i=np−1 row of the same element
+    column and j), and i=np−1 rows with t_dn's row r − npg(npg−1) — so
+    the whole pass is two masked ±12-row shifts (np=4), no concatenated
+    3-row window ever materializes."""
+    rows = t_c.shape[0]
+    p = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % (npg * npg)
+    m_i0 = (p < npg).astype(dt)
+    m_i3 = (p >= npg * (npg - 1)).astype(dt)
+    s = npg * (npg - 1)
+    return (t_c + m_i0 * _shift_up(t_up, s)
+            + m_i3 * _shift_down(t_dn, s)) * w
+
+
+def _rowchain_bridge_in_kernel(l_ref, q_ref, t_ref, *, precision, gb, gn,
+                               npg):
+    dt = q_ref.dtype
+    L = gb * gn
+    apply_all = _make_apply(l_ref, gb, gn, precision, dt)
+    masks = _masks_j(L, npg, L, dt)
+    t_ref[...] = _jpass(apply_all(q_ref[...]), masks, npg, L)
+
+
+def _rowchain_step_kernel(l_ref, w_ref, tu_ref, tc_ref, td_ref, out_ref, *,
+                          precision, gb, gn, npg):
+    dt = tc_ref.dtype
+    L = gb * gn
+    apply_all = _make_apply(l_ref, gb, gn, precision, dt)
+    d = _ipass_w(tu_ref[...], tc_ref[...], td_ref[...], w_ref[0], npg, dt)
+    y = apply_all(apply_all(d))
+    out_ref[...] = _jpass(y, _masks_j(L, npg, L, dt), npg, L)
+
+
+def _rowchain_bridge_out_kernel(l_ref, w_ref, tu_ref, tc_ref, td_ref,
+                                out_ref, *, precision, gb, gn, npg):
+    dt = tc_ref.dtype
+    apply_all = _make_apply(l_ref, gb, gn, precision, dt)
+    out_ref[...] = apply_all(
+        _ipass_w(tu_ref[...], tc_ref[...], td_ref[...], w_ref[0], npg, dt)
+    )
+
+
+def _rowchain_calls(cfg, precision, interpret):
+    ex, ey = torus_shape(cfg.nelemd)
+    g = 8
+    while ey % g:
+        g -= 1
+    gb, gn, npg = ey // g, g * cfg.npts, cfg.np_gll
+    L = gb * gn
+    ncol0 = cfg.ncol
+    ncol = -(-ncol0 // 128) * 128
+    itemsize = cfg.np_dtype(0).itemsize
+    ncol_blk = _pick_ncol_blk(3 * gb, gn, ncol, itemsize)
+    grid = (ex, ncol // ncol_blk)
+    kw = dict(precision=precision, gb=gb, gn=gn, npg=npg)
+    fdt = jnp.dtype(cfg.dtype) if cfg.dtype != "bfloat16" else jnp.bfloat16
+
+    lspec = pl.BlockSpec((1, gb, gn, gn), lambda i, c: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((1, L, 1), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    row = lambda off: pl.BlockSpec((L, ncol_blk),
+                                   lambda i, c, o=off: (i + o, c),
+                                   memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((ex * L, ncol), fdt)
+
+    def pad_cols(q2):
+        if ncol != ncol0:
+            return jnp.pad(q2, ((0, 0), (0, ncol - ncol0)))
+        return q2
+
+    def wrap_rows(t):
+        return jnp.concatenate([t[-L:], t, t[:L]], axis=0)
+
+    def bridge_in(lrow, q2):
+        return pl.pallas_call(
+            functools.partial(_rowchain_bridge_in_kernel, **kw),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[lspec, row(0)],
+            out_specs=row(0),
+            interpret=interpret,
+        )(lrow, pad_cols(q2))
+
+    def step_t(lrow, wrow, t):
+        tp = wrap_rows(t)
+        return pl.pallas_call(
+            functools.partial(_rowchain_step_kernel, **kw),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[lspec, wspec, row(0), row(1), row(2)],
+            out_specs=row(0),
+            interpret=interpret,
+        )(lrow, wrow, tp, tp, tp)
+
+    def bridge_out(lrow, wrow, t):
+        tp = wrap_rows(t)
+        return pl.pallas_call(
+            functools.partial(_rowchain_bridge_out_kernel, **kw),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[lspec, wspec, row(0), row(1), row(2)],
+            out_specs=row(0),
+            interpret=interpret,
+        )(lrow, wrow, tp, tp, tp)
+
+    return bridge_in, step_t, bridge_out, (ex, ey, g, gb, gn, L, ncol,
+                                           ncol0)
+
+
+def _rowchain_forms(cfg, precision: str):
+    rr = cfg.np_dtype(cfg.rrearth)
+    ex, ey = torus_shape(cfg.nelemd)
+    g = 8
+    while ey % g:
+        g -= 1
+    npts, ncol0, npg = cfg.npts, cfg.ncol, cfg.np_gll
+    interpret = pallas_interpret()
+    bridge_in, step_t, bridge_out, geom = _rowchain_calls(
+        cfg, precision, interpret)
+    _, _, _, gb, gn, L, ncol, _ = geom
+
+    def _build(data):
+        Lop = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        lbd = blockdiag_group_operator(Lop, g)
+        lrow = lbd.reshape(ex, gb, gn, gn)
+        w2 = dss2d_weights(data.spheremp, ex, ey).reshape(ex, L, 1)
+        return lrow, w2
+
+    @jax.jit
+    def prepare(data: BiharmonicData):
+        return _build(data)
+
+    def _q2(qtens):
+        return to_lane_layout(qtens).reshape(ex * L, ncol0)
+
+    def _from_q2(q2):
+        return from_lane_layout(
+            q2[:, :ncol0].reshape(cfg.nelemd, npts, ncol0), cfg)
+
+    @jax.jit
+    def step(aux, data: BiharmonicData) -> jnp.ndarray:
+        lrow, w2 = aux
+        t = bridge_in(lrow, _q2(data.qtens))
+        return _from_q2(bridge_out(lrow, w2, t))
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
+        lrow, w2 = _build(data)
+        t = bridge_in(lrow, _q2(data.qtens))
+        if n > 1:
+            t, _ = jax.lax.scan(
+                lambda tt, _: (step_t(lrow, w2, tt), None), t, None,
+                length=n - 1)
+        return _from_q2(bridge_out(lrow, w2, t))
+
+    return {"prepare": prepare, "step": step, "loop": loop}
+
+
+@register(
+    "biharmonic_dss2d",
+    "fused_operator_rowchain",
+    "t-carry rowchain: carry the j-assembled first-apply output between "
+    "steps so each fused kernel needs only 1-row windows (production-"
+    "scale; steady state reads 3 rows + writes 1 per step; 'highest' dots)",
+)
+def make_dss2d_rowchain(cfg):
+    return _rowchain_forms(cfg, "highest")
+
+
+@register(
+    "biharmonic_dss2d",
+    "fused_operator_rowchain_x3",
+    "t-carry rowchain with manual 3-pass bf16 f32-emulation dots",
+    supports_f64=False,
+)
+def make_dss2d_rowchain_x3(cfg):
+    return _rowchain_forms(cfg, "bf16x3")

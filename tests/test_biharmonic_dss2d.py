@@ -215,6 +215,32 @@ def test_dss2d_resident_chain_matches_chained_reference(nelemd):
         assert rel_l2(np.asarray(loop(data, n)), np.asarray(q)) < 1e-13, n
 
 
+@pytest.mark.parametrize("nelemd", [12, 16])
+def test_dss2d_rowchain_matches_chained_reference(nelemd):
+    """The t-carry rowchain (bridge-in → (n-1) fused t-steps →
+    bridge-out; 1-row windows) == chained reference steps at f64.  n=2
+    exercises one fused t-step, n=5 the scan path."""
+    import dataclasses
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(CFG, nelemd=nelemd, nlev=4, qsize=2,
+                         dtype="float64")
+    data = problem.init_data(cfg)
+    ref_step, _, _ = _materialize(
+        get("biharmonic_dss2d", "reference_jnp"), cfg, data)
+    step2, aux, loop = _materialize(
+        get("biharmonic_dss2d", "fused_operator_rowchain"), cfg, data)
+    e1 = rel_l2(np.asarray(step2(aux, data)),
+                np.asarray(ref_step((), data)))
+    assert e1 < 1e-13, e1
+    for n in (2, 5):
+        q = data.qtens
+        for _ in range(n):
+            q = ref_step((), dataclasses.replace(data, qtens=q))
+        assert rel_l2(np.asarray(loop(data, n)), np.asarray(q)) < 1e-13, n
+
+
 def test_dss2d_variants_through_harness():
     from cdk_tpu.harness import driver
 
