@@ -416,6 +416,96 @@ def make_dist_loop_dss2d(cfg, mesh: Mesh):
     return loop
 
 
+def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh):
+    """Distributed t-carry rowchain for the torus-DSS family: element ROWS
+    shard over a 1-D mesh (the j direction stays whole per shard — the
+    rowchain's full-row-window premise), and each scan step ppermutes ONE
+    t row per side before the fused step kernel
+    (pallas_dss2d_resident._rowchain_step_kernel) runs on the locally
+    padded rows — the dist-runs-the-tuned-kernel rule applied to the 2-D
+    family.  The general (pi, pj) mesh keeps the per-step jnp form
+    (make_dist_step_dss2d); this loop is the fast row-sharded production
+    shape.
+
+    Returns (shard_inputs, loop, gather): shard_inputs(data) ->
+    (q2 (ex, L, ncol) sharded on rows, aux=(lrow, w2) sharded);
+    loop(q2, aux, n) -> q2 after n steps; gather back to qtens."""
+    from cdk_tpu.core.platform import pallas_interpret
+    from cdk_tpu.kernels.biharmonic.dss2d import dss2d_weights, torus_shape
+    from cdk_tpu.kernels.biharmonic.operator import (
+        blockdiag_group_operator,
+        build_element_operator,
+    )
+    from cdk_tpu.kernels.biharmonic.pallas_dss2d_resident import (
+        _rowchain_calls,
+    )
+
+    axis = mesh.axis_names[0]
+    nparts = mesh.devices.size
+    rr = cfg.np_dtype(cfg.rrearth)
+    precision = "highest" if cfg.dtype == "float64" else "bf16x3"
+    calls, geom = _rowchain_calls(cfg, precision, pallas_interpret())
+    ex, ey, g, gb, gn, L, ncol, ncol0 = geom
+    if ex % nparts:
+        raise ValueError(f"element rows {ex} not divisible by {nparts}")
+    espec = P(axis)
+    rows = NamedSharding(mesh, espec)
+    perm_fwd = [(i, (i + 1) % nparts) for i in range(nparts)]
+    perm_bwd = [(i, (i - 1) % nparts) for i in range(nparts)]
+
+    def shard_inputs(data: BiharmonicData):
+        Lop = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        lrow = blockdiag_group_operator(Lop, g).reshape(ex, gb, gn, gn)
+        w2 = dss2d_weights(data.spheremp, ex, ey).reshape(ex, L, 1)
+        q2 = to_lane_layout(data.qtens).reshape(ex, L, cfg.ncol)
+        return (
+            jax.device_put(q2, rows),
+            (jax.device_put(lrow, rows), jax.device_put(w2, rows)),
+        )
+
+    def _pad_exchanged(t):
+        """Extend the local (ex_loc*L, ncol) t by one ring-exchanged
+        element row per side (the torus wrap rides the permutation)."""
+        up = lax.ppermute(t[-L:], axis, perm_fwd)
+        dn = lax.ppermute(t[:L], axis, perm_bwd)
+        return jnp.concatenate([up, t, dn], axis=0)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(q2, aux, n: int):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(espec, (espec, espec)),
+            out_specs=espec,
+            check_vma=False,
+        )
+        def run(q_loc, aux):
+            lrow, w2 = aux
+            exl = lrow.shape[0]
+            t = calls["bridge_in"](lrow, q_loc.reshape(exl * L, cfg.ncol))
+            if n > 1:
+                t, _ = lax.scan(
+                    lambda tt, _: (calls["step_t_padded"](
+                        lrow, w2, _pad_exchanged(tt)), None),
+                    t, None, length=n - 1)
+            q = calls["bridge_out_padded"](lrow, w2, _pad_exchanged(t))
+            return q[:, :cfg.ncol].reshape(exl, L, cfg.ncol)
+
+        return run(q2, aux)
+
+    def gather(q2):
+        import numpy as np
+
+        from cdk_tpu.kernels.biharmonic.problem import from_lane_layout
+
+        q_lane = jnp.asarray(q2).reshape(cfg.nelemd, cfg.npts, cfg.ncol)
+        return np.asarray(jax.device_get(from_lane_layout(q_lane, cfg)))
+
+    return shard_inputs, loop, gather
+
+
 def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
                              precision: str | None = None):
     """Communication-avoiding dist DSS loop: exchange B halo GROUPS once

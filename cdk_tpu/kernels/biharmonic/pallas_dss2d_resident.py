@@ -447,6 +447,10 @@ def _rowchain_bridge_out_kernel(l_ref, w_ref, tu_ref, tc_ref, td_ref,
 
 
 def _rowchain_calls(cfg, precision, interpret):
+    """Build the three rowchain pallas calls.  The grid's row count is
+    derived from the operand shapes at trace time, so the same calls run
+    single-chip (all ex rows, wrap padding) and inside shard_map (ex/pi
+    local rows, ppermuted halo padding — the *_padded entry points)."""
     ex, ey = torus_shape(cfg.nelemd)
     g = 8
     while ey % g:
@@ -457,9 +461,7 @@ def _rowchain_calls(cfg, precision, interpret):
     ncol = -(-ncol0 // 128) * 128
     itemsize = cfg.np_dtype(0).itemsize
     ncol_blk = _pick_ncol_blk(3 * gb, gn, ncol, itemsize)
-    grid = (ex, ncol // ncol_blk)
     kw = dict(precision=precision, gb=gb, gn=gn, npg=npg)
-    fdt = jnp.dtype(cfg.dtype) if cfg.dtype != "bfloat16" else jnp.bfloat16
 
     lspec = pl.BlockSpec((1, gb, gn, gn), lambda i, c: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -468,10 +470,9 @@ def _rowchain_calls(cfg, precision, interpret):
     row = lambda off: pl.BlockSpec((L, ncol_blk),
                                    lambda i, c, o=off: (i + o, c),
                                    memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((ex * L, ncol), fdt)
 
     def pad_cols(q2):
-        if ncol != ncol0:
+        if ncol != ncol0 and q2.shape[1] == ncol0:
             return jnp.pad(q2, ((0, 0), (0, ncol - ncol0)))
         return q2
 
@@ -479,39 +480,47 @@ def _rowchain_calls(cfg, precision, interpret):
         return jnp.concatenate([t[-L:], t, t[:L]], axis=0)
 
     def bridge_in(lrow, q2):
+        exl = lrow.shape[0]
         return pl.pallas_call(
             functools.partial(_rowchain_bridge_in_kernel, **kw),
-            out_shape=out_shape,
-            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((exl * L, ncol), q2.dtype),
+            grid=(exl, ncol // ncol_blk),
             in_specs=[lspec, row(0)],
             out_specs=row(0),
             interpret=interpret,
         )(lrow, pad_cols(q2))
 
-    def step_t(lrow, wrow, t):
-        tp = wrap_rows(t)
+    def _padded_call(kernel, lrow, wrow, tp):
+        exl = lrow.shape[0]
         return pl.pallas_call(
-            functools.partial(_rowchain_step_kernel, **kw),
-            out_shape=out_shape,
-            grid=grid,
+            functools.partial(kernel, **kw),
+            out_shape=jax.ShapeDtypeStruct((exl * L, ncol), tp.dtype),
+            grid=(exl, ncol // ncol_blk),
             in_specs=[lspec, wspec, row(0), row(1), row(2)],
             out_specs=row(0),
             interpret=interpret,
         )(lrow, wrow, tp, tp, tp)
+
+    def step_t_padded(lrow, wrow, tp):
+        return _padded_call(_rowchain_step_kernel, lrow, wrow, tp)
+
+    def bridge_out_padded(lrow, wrow, tp):
+        return _padded_call(_rowchain_bridge_out_kernel, lrow, wrow, tp)
+
+    def step_t(lrow, wrow, t):
+        return step_t_padded(lrow, wrow, wrap_rows(t))
 
     def bridge_out(lrow, wrow, t):
-        tp = wrap_rows(t)
-        return pl.pallas_call(
-            functools.partial(_rowchain_bridge_out_kernel, **kw),
-            out_shape=out_shape,
-            grid=grid,
-            in_specs=[lspec, wspec, row(0), row(1), row(2)],
-            out_specs=row(0),
-            interpret=interpret,
-        )(lrow, wrow, tp, tp, tp)
+        return bridge_out_padded(lrow, wrow, wrap_rows(t))
 
-    return bridge_in, step_t, bridge_out, (ex, ey, g, gb, gn, L, ncol,
-                                           ncol0)
+    calls = {
+        "bridge_in": bridge_in,
+        "step_t": step_t,
+        "bridge_out": bridge_out,
+        "step_t_padded": step_t_padded,
+        "bridge_out_padded": bridge_out_padded,
+    }
+    return calls, (ex, ey, g, gb, gn, L, ncol, ncol0)
 
 
 def _rowchain_forms(cfg, precision: str):
@@ -522,8 +531,9 @@ def _rowchain_forms(cfg, precision: str):
         g -= 1
     npts, ncol0, npg = cfg.npts, cfg.ncol, cfg.np_gll
     interpret = pallas_interpret()
-    bridge_in, step_t, bridge_out, geom = _rowchain_calls(
-        cfg, precision, interpret)
+    calls, geom = _rowchain_calls(cfg, precision, interpret)
+    bridge_in, step_t, bridge_out = (
+        calls["bridge_in"], calls["step_t"], calls["bridge_out"])
     _, _, _, gb, gn, L, ncol, _ = geom
 
     def _build(data):

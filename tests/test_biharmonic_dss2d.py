@@ -285,6 +285,29 @@ def test_dss2d_dist_loop_matches_chained():
     assert rel_l2(out_loop, np.asarray(q_ref)) < 1e-11
 
 
+@pytest.mark.parametrize("ndev,n", [(2, 1), (2, 5), (4, 4)])
+def test_dss2d_dist_rowchain_matches_chained_reference(ndev, n):
+    """The distributed t-carry rowchain (rows sharded; one t row
+    ppermuted per side per step; fused kernels inside shard_map) ==
+    chained reference at f64."""
+    import dataclasses
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(CFG, nelemd=32, nlev=4, qsize=2, dtype="float64")
+    data = problem.init_data(cfg)
+    ref_step, _, _ = _materialize(
+        get("biharmonic_dss2d", "reference_jnp"), cfg, data)
+    m = meshmod.make_mesh(ndev)
+    shard_inputs, loop, gather = dist_bi.make_dist_loop_dss2d_rowchain(
+        cfg, m)
+    q2, aux = shard_inputs(data)
+    q = data.qtens
+    for _ in range(n):
+        q = ref_step((), dataclasses.replace(data, qtens=q))
+    assert rel_l2(gather(loop(q2, aux, n)), np.asarray(q)) < 1e-13
+
+
 def test_dss2d_dist_rejects_indivisible_grid():
     m = meshmod.make_mesh2d(shape=(3, 2))
     with pytest.raises(ValueError, match="not divisible"):
