@@ -117,6 +117,26 @@ def biharmonic_dss_ref(data, rrearth: float) -> np.ndarray:
     return out
 
 
+def biharmonic_dss2d_ref(data, rrearth: float, ex: int, ey: int) -> np.ndarray:
+    """C++ scalar oracle of the two-application 2-D torus-DSS biharmonic
+    (kernels/biharmonic/dss2d.py semantics: edge + 4-way corner assembly
+    via the two-pass sum)."""
+    dvv = np.ascontiguousarray(data.dvv, np.float64)
+    dinv = np.ascontiguousarray(data.dinv, np.float64)
+    sp = np.ascontiguousarray(data.spheremp, np.float64)
+    tv = np.ascontiguousarray(data.tensorvisc, np.float64)
+    q = np.ascontiguousarray(data.qtens, np.float64)
+    e, qs, nl, n, _ = q.shape
+    assert e == ex * ey
+    out = np.empty_like(q)
+    scratch = np.empty_like(q)
+    load().cdk_biharmonic_dss2d_ref(ex, ey, qs, nl, n, _f64(dvv),
+                                    _f64(dinv), _f64(sp), _f64(tv),
+                                    ctypes.c_double(rrearth), _f64(q),
+                                    _f64(out), _f64(scratch))
+    return out
+
+
 def cke_ref(data, coef3rdorder: float) -> np.ndarray:
     """C++ scalar oracle of the original-form edge flux."""
     cells = np.ascontiguousarray(data.adv_cells, np.int32)

@@ -193,6 +193,103 @@ void cdk_biharmonic_dss_ref(int nelemd, int qsize, int nlev, int np,
                      tensorvisc, rrearth, scratch, out);
 }
 
+// Two-application biharmonic with the 2-D TORUS DSS between — edges in
+// both GLL directions plus 4-way corner dofs (cdk_tpu.kernels.biharmonic
+// .dss2d semantics: elements on a periodic (ex, ey) grid, flattened
+// e = a*ey + b; assembled dof = Σ sharers / Σ sharers' spheremp,
+// evaluated as a j-direction edge sum followed by an i-direction edge
+// sum OF THE j-SUMMED field, which carries the corner partials).
+void cdk_biharmonic_dss2d_ref(int ex, int ey, int qsize, int nlev, int np,
+                              const double* dvv, const double* dinv,
+                              const double* spheremp,
+                              const double* tensorvisc, double rrearth,
+                              const double* qtens, double* out,
+                              double* scratch) {
+  const int nelemd = ex * ey;
+  const int npts = np * np;
+  const long long per_lvl = npts;
+  const long long per_e = static_cast<long long>(qsize) * nlev * npts;
+  const long long total = static_cast<long long>(nelemd) * per_e;
+  auto eid = [&](int a, int b) {
+    return ((a + ex) % ex) * ey + ((b + ey) % ey);
+  };
+  // 1st Laplacian into scratch
+  cdk_biharmonic_ref(nelemd, qsize, nlev, np, dvv, dinv, spheremp,
+                     tensorvisc, rrearth, qtens, scratch);
+  // assembled mass: the same two-pass sum applied to spheremp
+  std::vector<double> jm(static_cast<long long>(nelemd) * npts);
+  std::vector<double> mass(static_cast<long long>(nelemd) * npts);
+  for (int a = 0; a < ex; ++a)
+    for (int b = 0; b < ey; ++b) {
+      const double* sp = spheremp + static_cast<long long>(eid(a, b)) * npts;
+      const double* spl =
+          spheremp + static_cast<long long>(eid(a, b - 1)) * npts;
+      const double* spr =
+          spheremp + static_cast<long long>(eid(a, b + 1)) * npts;
+      double* o = jm.data() + static_cast<long long>(eid(a, b)) * npts;
+      for (int i = 0; i < np; ++i) {
+        for (int j = 1; j < np - 1; ++j) o[i * np + j] = sp[i * np + j];
+        o[i * np + 0] = sp[i * np + 0] + spl[i * np + np - 1];
+        o[i * np + np - 1] = sp[i * np + np - 1] + spr[i * np + 0];
+      }
+    }
+  for (int a = 0; a < ex; ++a)
+    for (int b = 0; b < ey; ++b) {
+      const double* t = jm.data() + static_cast<long long>(eid(a, b)) * npts;
+      const double* tu =
+          jm.data() + static_cast<long long>(eid(a - 1, b)) * npts;
+      const double* td =
+          jm.data() + static_cast<long long>(eid(a + 1, b)) * npts;
+      double* o = mass.data() + static_cast<long long>(eid(a, b)) * npts;
+      for (int j = 0; j < np; ++j) {
+        for (int i = 1; i < np - 1; ++i) o[i * np + j] = t[i * np + j];
+        o[0 * np + j] = t[0 * np + j] + tu[(np - 1) * np + j];
+        o[(np - 1) * np + j] = t[(np - 1) * np + j] + td[0 * np + j];
+      }
+    }
+  // field: the same two passes per (q, k) level
+  std::vector<double> tfield(total);
+  for (int a = 0; a < ex; ++a)
+    for (int b = 0; b < ey; ++b) {
+      long long e = eid(a, b), el = eid(a, b - 1), er = eid(a, b + 1);
+      for (long long lv = 0;
+           lv < static_cast<long long>(qsize) * nlev; ++lv) {
+        const double* s = scratch + e * per_e + lv * per_lvl;
+        const double* sl = scratch + el * per_e + lv * per_lvl;
+        const double* sr = scratch + er * per_e + lv * per_lvl;
+        double* o = tfield.data() + e * per_e + lv * per_lvl;
+        for (int i = 0; i < np; ++i) {
+          for (int j = 1; j < np - 1; ++j) o[i * np + j] = s[i * np + j];
+          o[i * np + 0] = s[i * np + 0] + sl[i * np + np - 1];
+          o[i * np + np - 1] = s[i * np + np - 1] + sr[i * np + 0];
+        }
+      }
+    }
+  for (int a = 0; a < ex; ++a)
+    for (int b = 0; b < ey; ++b) {
+      long long e = eid(a, b), eu = eid(a - 1, b), ed = eid(a + 1, b);
+      const double* m = mass.data() + e * npts;
+      for (long long lv = 0;
+           lv < static_cast<long long>(qsize) * nlev; ++lv) {
+        const double* t = tfield.data() + e * per_e + lv * per_lvl;
+        const double* tu = tfield.data() + eu * per_e + lv * per_lvl;
+        const double* td = tfield.data() + ed * per_e + lv * per_lvl;
+        double* o = scratch + e * per_e + lv * per_lvl;
+        for (int j = 0; j < np; ++j) {
+          for (int i = 1; i < np - 1; ++i)
+            o[i * np + j] = t[i * np + j] / m[i * np + j];
+          o[0 * np + j] = (t[0 * np + j] + tu[(np - 1) * np + j]) /
+                          m[0 * np + j];
+          o[(np - 1) * np + j] = (t[(np - 1) * np + j] + td[0 * np + j]) /
+                                 m[(np - 1) * np + j];
+        }
+      }
+    }
+  // 2nd Laplacian
+  cdk_biharmonic_ref(nelemd, qsize, nlev, np, dvv, dinv, spheremp,
+                     tensorvisc, rrearth, scratch, out);
+}
+
 // ---------------------------------------------------- cke oracle ----
 
 // Original-form edge flux (nested.F90:119-157): per-edge wgt/sgn column

@@ -93,3 +93,15 @@ def test_cpp_biharmonic_dss_oracle_matches_jnp():
     want = np.asarray(dss.make_reference(cfg)(data))
     got = native.biharmonic_dss_ref(data, cfg.rrearth)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
+def test_cpp_biharmonic_dss2d_oracle_matches_jnp():
+    from cdk_tpu.core.config import BiharmonicConfig, with_overrides
+    from cdk_tpu.kernels.biharmonic import dss2d, problem
+
+    cfg = with_overrides(BiharmonicConfig(), nelemd=12, nlev=3, qsize=2)
+    data = problem.init_data(cfg)
+    ex, ey = dss2d.torus_shape(cfg.nelemd)
+    want = np.asarray(dss2d.make_reference(cfg)(data))
+    got = native.biharmonic_dss2d_ref(data, cfg.rrearth, ex, ey)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
