@@ -416,7 +416,7 @@ def make_dist_loop_dss2d(cfg, mesh: Mesh):
     return loop
 
 
-def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh):
+def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
     """Distributed t-carry rowchain for the torus-DSS family: element ROWS
     shard over a 1-D mesh (the j direction stays whole per shard — the
     rowchain's full-row-window premise), and each scan step ppermutes ONE
@@ -452,6 +452,8 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh):
     rows = NamedSharding(mesh, espec)
     perm_fwd = [(i, (i + 1) % nparts) for i in range(nparts)]
     perm_bwd = [(i, (i - 1) % nparts) for i in range(nparts)]
+    if overlap and ex // nparts < 2:
+        raise ValueError("overlap form needs >= 2 element rows per shard")
 
     def shard_inputs(data: BiharmonicData):
         Lop = build_element_operator(
@@ -472,6 +474,35 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh):
         dn = lax.ppermute(t[:L], axis, perm_bwd)
         return jnp.concatenate([up, t, dn], axis=0)
 
+    def _step_serial(lrow, w2, t):
+        return calls["step_t_padded"](lrow, w2, _pad_exchanged(t))
+
+    def _step_overlap(lrow, w2, t):
+        """Comm/compute-overlapped t step, full-batch-with-edge-patch form
+        (the 1-D family's measured-winning pattern: batch splits around
+        the exchange collapse inside shard_map+scan, so compute the WHOLE
+        batch with zeroed halos — interior rows never read them — while
+        the two boundary-row permutes fly, then recompute the two edge
+        rows with the landed halos and patch.  Bitwise-equal to serial:
+        the patch runs the identical kernel on identical window
+        content)."""
+        up = lax.ppermute(t[-L:], axis, perm_fwd)
+        dn = lax.ppermute(t[:L], axis, perm_bwd)
+        z = jnp.zeros_like(t[:L])
+        out = calls["step_t_padded"](
+            lrow, w2, jnp.concatenate([z, t, z], axis=0))
+        first = calls["step_t_padded"](
+            lrow[:1], w2[:1],
+            jnp.concatenate([up, t[:L], t[L:2 * L]], axis=0))
+        last = calls["step_t_padded"](
+            lrow[-1:], w2[-1:],
+            jnp.concatenate([t[-2 * L:-L], t[-L:], dn], axis=0))
+        out = lax.dynamic_update_slice_in_dim(out, first, 0, axis=0)
+        return lax.dynamic_update_slice_in_dim(
+            out, last, out.shape[0] - L, axis=0)
+
+    step_fn = _step_overlap if overlap else _step_serial
+
     @functools.partial(jax.jit, static_argnames="n")
     def loop(q2, aux, n: int):
         @functools.partial(
@@ -487,8 +518,7 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh):
             t = calls["bridge_in"](lrow, q_loc.reshape(exl * L, cfg.ncol))
             if n > 1:
                 t, _ = lax.scan(
-                    lambda tt, _: (calls["step_t_padded"](
-                        lrow, w2, _pad_exchanged(tt)), None),
+                    lambda tt, _: (step_fn(lrow, w2, tt), None),
                     t, None, length=n - 1)
             q = calls["bridge_out_padded"](lrow, w2, _pad_exchanged(t))
             return q[:, :cfg.ncol].reshape(exl, L, cfg.ncol)

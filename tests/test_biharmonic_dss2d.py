@@ -308,6 +308,20 @@ def test_dss2d_dist_rowchain_matches_chained_reference(ndev, n):
     assert rel_l2(gather(loop(q2, aux, n)), np.asarray(q)) < 1e-13
 
 
+def test_dss2d_dist_rowchain_overlap_matches_serial_exactly():
+    """Overlapped (full-batch-with-edge-patch) and serialized rowchain
+    loops are the same arithmetic — bitwise-identical outputs."""
+    cfg = with_overrides(CFG, nelemd=32, nlev=4, qsize=2, dtype="float64")
+    data = problem.init_data(cfg)
+    m = meshmod.make_mesh(4)
+    si, loop_s, gather = dist_bi.make_dist_loop_dss2d_rowchain(cfg, m)
+    _, loop_o, _ = dist_bi.make_dist_loop_dss2d_rowchain(cfg, m,
+                                                         overlap=True)
+    q2, aux = si(data)
+    np.testing.assert_array_equal(gather(loop_s(q2, aux, 4)),
+                                  gather(loop_o(q2, aux, 4)))
+
+
 def test_dss2d_dist_rejects_indivisible_grid():
     m = meshmod.make_mesh2d(shape=(3, 2))
     with pytest.raises(ValueError, match="not divisible"):
