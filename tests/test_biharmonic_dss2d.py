@@ -322,6 +322,38 @@ def test_dss2d_dist_rowchain_overlap_matches_serial_exactly():
                                   gather(loop_o(q2, aux, 4)))
 
 
+def test_dss2d_geometry_fuzz():
+    """Resident chain + rowchain vs reference across random torus shapes
+    (odd ey → non-8 group sizes, rectangular grids, prime-ish factors) —
+    the window masks and shift distances must hold at every geometry, not
+    just the shipped/production ones."""
+    import dataclasses
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    rng = np.random.default_rng(5)
+    shapes = [(2, 3), (5, 4), (3, 6), (7, 2), (4, 10)]
+    for ex, ey in [shapes[i] for i in rng.permutation(len(shapes))[:4]]:
+        cfg = with_overrides(CFG, nelemd=ex * ey, nlev=3, qsize=2,
+                             dtype="float64")
+        if dss2d.torus_shape(cfg.nelemd) != (ex, ey):
+            # torus_shape fixes the family topology per nelemd; only
+            # shapes it actually produces are reachable
+            ex, ey = dss2d.torus_shape(cfg.nelemd)
+        data = problem.init_data(cfg)
+        ref_step, _, _ = _materialize(
+            get("biharmonic_dss2d", "reference_jnp"), cfg, data)
+        q = data.qtens
+        for _ in range(2):
+            q = ref_step((), dataclasses.replace(data, qtens=q))
+        for name in ("fused_operator_bd8_resident", "fused_operator_rowchain",
+                     "fused_operator_bd8"):
+            _, _, loop = _materialize(get("biharmonic_dss2d", name), cfg,
+                                      data)
+            e = rel_l2(np.asarray(loop(data, 2)), np.asarray(q))
+            assert e < 1e-13, (name, ex, ey, e)
+
+
 def test_dss2d_dist_rejects_indivisible_grid():
     m = meshmod.make_mesh2d(shape=(3, 2))
     with pytest.raises(ValueError, match="not divisible"):
