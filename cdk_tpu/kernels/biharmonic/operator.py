@@ -163,7 +163,9 @@ def make_fused_operator_bd(cfg):
     # variant for miniapp sizes only (5400 elements would need a 30 GB
     # matrix and crashes the chip)
     if (e * npts) ** 2 * 4 > 2 * 2**30:
-        raise ValueError(
+        # typed unsupported-at-this-config skip (driver reports it as a
+        # skip with this reason; crashes still FAIL)
+        raise NotImplementedError(
             f"fused_operator_bd: dense operator would be "
             f"{(e * npts) ** 2 * 4 / 2**30:.1f} GiB; use fused_operator"
         )

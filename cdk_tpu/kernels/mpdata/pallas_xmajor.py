@@ -166,7 +166,7 @@ def make_pallas_xmajor(cfg):
     interpret = pallas_interpret()
     nzm, nz = cfg.nzm, cfg.nz
     if nz > SEG:
-        raise ValueError(f"pallas_xmajor needs nz <= {SEG} (got {nz})")
+        raise NotImplementedError(f"pallas_xmajor needs nz <= {SEG} (got {nz})")
     nsl = cfg.nslices
 
     def prepare(data: MpdataData):

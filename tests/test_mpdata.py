@@ -452,7 +452,7 @@ def test_pallas_packed_rejects_bad_geometry():
         cfg = with_overrides(MpdataConfig(), **kw)
         from cdk_tpu.core.registry import get
 
-        with _pytest.raises(ValueError):
+        with _pytest.raises(NotImplementedError):
             get("mpdata", "pallas_packed").fn(cfg)
 
 
