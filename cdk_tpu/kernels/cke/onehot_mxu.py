@@ -61,6 +61,18 @@ def apply_onehot(a1, a3, tracer, cell_mask, ntf, adv_mask, coef3rdorder,
 def _make_onehot(cfg, precision):
     c3 = cfg.np_dtype(cfg.coef3rdorder)
     ncells = cfg.ncells
+    # dense-recast applicability: A1+A3 are 2*nedges*ncells floats, HBM-
+    # resident and streamed per iteration.  At the production 256k x 28k
+    # size that is ~57 GB — structurally infeasible (and the compile
+    # attempt crashes the remote Mosaic helper), so the guard is a typed
+    # skip; gather_peradv is the production exact form (round2-summary).
+    itemsize = 2 if precision == "default" else 4
+    if 2 * cfg.nedges * ncells * itemsize > 2 * 2**30:
+        raise NotImplementedError(
+            f"onehot_mxu: connectivity matrices would be "
+            f"{2 * cfg.nedges * ncells * itemsize / 2**30:.1f} GiB; "
+            f"use gather_peradv at this scale"
+        )
     # the bf16 speed point also STORES the connectivity matrices in bf16:
     # per-iteration HBM streaming of A1/A3 halves (they dominate traffic at
     # 2 x nedges x ncells)

@@ -154,6 +154,16 @@ def edge_flux_pallas(data: CkeData, coef3rdorder: float,
 def _make_pallas(cfg, precision):
     c3 = float(cfg.coef3rdorder)
     interpret = pallas_interpret()
+    # in-kernel one-hot applicability: the kernel keeps the whole
+    # (ncells, K) tracer field VMEM-resident and does O(E*C*A) rebuild
+    # compares per iteration — the docstring's own measurement shows it
+    # losing 8x at production ncells, and at 256k x 28k the run OOMs;
+    # typed skip (gather_peradv is the production exact form)
+    if cfg.nedges * cfg.ncells > 200_000_000:
+        raise NotImplementedError(
+            f"pallas_onehot: O(nedges*ncells) one-hot rebuild infeasible "
+            f"at {cfg.nedges}x{cfg.ncells}; use gather_peradv"
+        )
 
     @jax.jit
     def step(data: CkeData) -> jnp.ndarray:

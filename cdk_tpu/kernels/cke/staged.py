@@ -89,6 +89,16 @@ def _run(adv_cells, adv_coefs, adv_coefs3, tracer, cell_mask, ntf, adv_mask,
 def make_staged_consume(cfg):
     c3 = float(cfg.coef3rdorder)
     interpret = pallas_interpret()
+    # staging applicability: the (nAdv, E, Kpad) gather buffer plus XLA's
+    # per-slot gather temporaries OOM the chip at the production 256k-edge
+    # size (measured RESOURCE_EXHAUSTED); typed skip past ~512 MiB staged
+    kpad = -(-cfg.nvertlevels // 128) * 128
+    if cfg.nadv * cfg.nedges * kpad * 4 > 512 * 2**20:
+        raise NotImplementedError(
+            f"staged_consume: (nAdv, E, K) staging would be "
+            f"{cfg.nadv * cfg.nedges * kpad * 4 / 2**30:.2f} GiB; "
+            f"use gather_peradv at this scale"
+        )
 
     @jax.jit
     def step(data: CkeData) -> jnp.ndarray:
