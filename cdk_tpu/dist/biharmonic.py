@@ -536,6 +536,122 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
     return shard_inputs, loop, gather
 
 
+def make_dist_loop_dss2d_rowchain_kstep(cfg, mesh: Mesh, kstep: int = 4):
+    """Communication-avoiding distributed rowchain: ppermute kstep t rows
+    per side ONCE per kstep steps, then run a shrinking-window local
+    chain — sub-step j consumes one halo row per side (the deep-halo
+    validity argument on the row axis), so the SAME fused step kernel
+    runs at kstep static shapes and no new kernel is needed.  Operators/
+    weights for the halo rows are step-invariant: their extended windows
+    are exchanged once per dispatch.  Exchange count drops kstep-fold at
+    the cost of 2*sum(k-j)/ex_loc ≈ kstep/ex_loc row overcompute.
+
+    Same contract as make_dist_loop_dss2d_rowchain; n must be a positive
+    multiple of 1 (a trailing n % kstep remainder block is handled)."""
+    from cdk_tpu.core.platform import pallas_interpret
+    from cdk_tpu.kernels.biharmonic.dss2d import dss2d_weights, torus_shape
+    from cdk_tpu.kernels.biharmonic.operator import (
+        blockdiag_group_operator,
+        build_element_operator,
+    )
+    from cdk_tpu.kernels.biharmonic.pallas_dss2d_resident import (
+        _rowchain_calls,
+    )
+
+    axis = mesh.axis_names[0]
+    nparts = mesh.devices.size
+    rr = cfg.np_dtype(cfg.rrearth)
+    precision = "highest" if cfg.dtype == "float64" else "bf16x3"
+    calls, geom = _rowchain_calls(cfg, precision, pallas_interpret())
+    ex, ey, g, gb, gn, L, ncol, ncol0 = geom
+    if ex % nparts:
+        raise ValueError(f"element rows {ex} not divisible by {nparts}")
+    ex_loc = ex // nparts
+    if kstep < 1 or kstep > ex_loc:
+        # halo rows beyond the shard would need multi-hop exchanges
+        raise ValueError(f"kstep={kstep} must be in [1, {ex_loc}]")
+    espec = P(axis)
+    rows = NamedSharding(mesh, espec)
+    perm_fwd = [(i, (i + 1) % nparts) for i in range(nparts)]
+    perm_bwd = [(i, (i - 1) % nparts) for i in range(nparts)]
+
+    def shard_inputs(data: BiharmonicData):
+        Lop = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        lrow = blockdiag_group_operator(Lop, g).reshape(ex, gb, gn, gn)
+        w2 = dss2d_weights(data.spheremp, ex, ey).reshape(ex, L, 1)
+        q2 = to_lane_layout(data.qtens).reshape(ex, L, cfg.ncol)
+        return (
+            jax.device_put(q2, rows),
+            (jax.device_put(lrow, rows), jax.device_put(w2, rows)),
+        )
+
+    def _ext(x, h, ax=0):
+        """Extend by h ring-exchanged leading-axis entries per side."""
+        up = lax.ppermute(
+            lax.slice_in_dim(x, x.shape[ax] - h, x.shape[ax], axis=ax),
+            axis, perm_fwd)
+        dn = lax.ppermute(lax.slice_in_dim(x, 0, h, axis=ax), axis,
+                          perm_bwd)
+        return jnp.concatenate([up, x, dn], axis=ax)
+
+    def _chain(lrow_e, w_e, t, k):
+        """k sub-steps on a (ex_loc + 2k)-row extended t, shrinking one
+        row per side per sub-step (static shapes; the kernel is
+        shape-generic)."""
+        t_ext = _ext(t.reshape(ex_loc, L, ncol),
+                     k).reshape((ex_loc + 2 * k) * L, ncol)
+        for j in range(1, k + 1):
+            nrows = ex_loc + 2 * (k - j)
+            lj = lax.slice_in_dim(lrow_e, j, j + nrows, axis=0)
+            wj = lax.slice_in_dim(w_e, j, j + nrows, axis=0)
+            t_ext = calls["step_t_padded"](lj, wj, t_ext)
+        return t_ext  # (ex_loc * L, ncol)
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(q2, aux, n: int):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(espec, (espec, espec)),
+            out_specs=espec,
+            check_vma=False,
+        )
+        def run(q_loc, aux):
+            lrow, w2 = aux
+            # step-invariant extended operator/weight windows: one
+            # exchange per dispatch
+            lrow_e = _ext(lrow, kstep)
+            w_e = _ext(w2, kstep)
+            t = calls["bridge_in"](lrow, q_loc.reshape(ex_loc * L,
+                                                       cfg.ncol))
+            m, r = divmod(n - 1, kstep)
+            if m:
+                t, _ = lax.scan(
+                    lambda tt, _: (_chain(lrow_e, w_e, tt, kstep), None),
+                    t, None, length=m)
+            if r:
+                t = _chain(lrow_e, w_e, t, r)
+            up = lax.ppermute(t[-L:], axis, perm_fwd)
+            dn = lax.ppermute(t[:L], axis, perm_bwd)
+            q = calls["bridge_out_padded"](
+                lrow, w2, jnp.concatenate([up, t, dn], axis=0))
+            return q[:, :cfg.ncol].reshape(ex_loc, L, cfg.ncol)
+
+        return run(q2, aux)
+
+    def gather(q2):
+        import numpy as np
+
+        from cdk_tpu.kernels.biharmonic.problem import from_lane_layout
+
+        q_lane = jnp.asarray(q2).reshape(cfg.nelemd, cfg.npts, cfg.ncol)
+        return np.asarray(jax.device_get(from_lane_layout(q_lane, cfg)))
+
+    return shard_inputs, loop, gather
+
+
 def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
                              precision: str | None = None):
     """Communication-avoiding dist DSS loop: exchange B halo GROUPS once

@@ -308,6 +308,29 @@ def test_dss2d_dist_rowchain_matches_chained_reference(ndev, n):
     assert rel_l2(gather(loop(q2, aux, n)), np.asarray(q)) < 1e-13
 
 
+@pytest.mark.parametrize("ndev,kstep,n", [(2, 2, 5), (2, 4, 5), (4, 2, 9)])
+def test_dss2d_dist_rowchain_kstep_matches_chained_reference(ndev, kstep, n):
+    """Communication-avoiding rowchain (kstep t rows exchanged once per
+    kstep sub-steps; shrinking-window local chain) == chained reference
+    at f64, including the n % kstep remainder path."""
+    import dataclasses
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(CFG, nelemd=32, nlev=4, qsize=2, dtype="float64")
+    data = problem.init_data(cfg)
+    ref_step, _, _ = _materialize(
+        get("biharmonic_dss2d", "reference_jnp"), cfg, data)
+    m = meshmod.make_mesh(ndev)
+    si, loop, gather = dist_bi.make_dist_loop_dss2d_rowchain_kstep(
+        cfg, m, kstep=kstep)
+    q2, aux = si(data)
+    q = data.qtens
+    for _ in range(n):
+        q = ref_step((), dataclasses.replace(data, qtens=q))
+    assert rel_l2(gather(loop(q2, aux, n)), np.asarray(q)) < 1e-13
+
+
 def test_dss2d_dist_rowchain_overlap_matches_serial_exactly():
     """Overlapped (full-batch-with-edge-patch) and serialized rowchain
     loops are the same arithmetic — bitwise-identical outputs."""
