@@ -210,6 +210,10 @@ def main(argv=None) -> int:
                         nelemd_per_device=args.nelemd_per_device,
                         kstep=args.kstep, n_steps=args.steps,
                     )
+                    scaling.comm_avoid_gain_dss2d(
+                        n_devices=devices[-1],
+                        kstep=args.kstep, n_steps=args.steps,
+                    )
             else:
                 scaling.weak_scaling_cke(
                     device_counts=devices,

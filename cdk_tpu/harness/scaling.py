@@ -233,6 +233,67 @@ def comm_avoid_gain_dss(
             "kloop_s": t_ca, "gain": gain}
 
 
+def comm_avoid_gain_dss2d(
+    n_devices: int = 4,
+    kstep: int = 4,
+    n_steps: int = 16,
+    nelemd: int | None = None,
+    nlev: int = 8,
+    qsize: int = 2,
+    dtype: str = "float32",
+    quiet: bool = False,
+) -> dict:
+    """Per-step dist rowchain (one t row exchanged per side per step) vs
+    the communication-avoiding kstep rowchain (kstep rows exchanged once
+    per kstep shrinking-window sub-steps) for the 2-D torus-DSS family,
+    both single-jit scans."""
+    import time
+
+    from cdk_tpu.core.config import BiharmonicConfig
+    from cdk_tpu.dist import biharmonic as dist_bi
+    from cdk_tpu.kernels.biharmonic import problem
+    from cdk_tpu.kernels.biharmonic.dss2d import torus_shape
+
+    say = (lambda *a: None) if quiet else print
+    n = min(n_devices, len(jax.devices()))
+    if nelemd is None:
+        nelemd = 4 * n * n * max(1, kstep // 2) ** 2
+    ex, _ = torus_shape(nelemd)
+    if ex % n or ex // n < kstep:
+        raise ValueError(
+            f"nelemd={nelemd} (ex={ex}) cannot host kstep={kstep} on "
+            f"{n} devices")
+    n_steps = max(kstep, n_steps - n_steps % kstep)
+    cfg = with_overrides(BiharmonicConfig(), nelemd=nelemd, nlev=nlev,
+                         qsize=qsize, dtype=dtype)
+    m = meshmod.make_mesh(n)
+    data = problem.init_data(cfg)
+
+    def time_loop(si, loop):
+        args = si(data)
+        fetch_sync(loop(*args, n_steps))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fetch_sync(loop(*args, n_steps))
+            best = min(best, (time.perf_counter() - t0) / n_steps)
+        return best
+
+    si_p, loop_p, _ = dist_bi.make_dist_loop_dss2d_rowchain(cfg, m)
+    t_step = time_loop(si_p, loop_p)
+    si_k, loop_k, _ = dist_bi.make_dist_loop_dss2d_rowchain_kstep(
+        cfg, m, kstep=kstep)
+    t_ca = time_loop(si_k, loop_k)
+    gain = (t_step - t_ca) / t_step
+    say(
+        f" comm-avoid dss2d n={n} kstep={kstep} nelemd={nelemd}: per-step "
+        f"{t_step * 1e6:9.2f} us/step, kloop {t_ca * 1e6:9.2f} us/step, "
+        f"gain {gain * 100:5.1f}%"
+    )
+    return {"n_devices": n, "kstep": kstep, "per_step_s": t_step,
+            "kloop_s": t_ca, "gain": gain}
+
+
 def weak_scaling_biharmonic(
     device_counts=(1, 2, 4, 8),
     nelemd_per_device: int = 16,
