@@ -194,7 +194,14 @@ def main(argv=None) -> int:
                     nelemd_per_device=args.nelemd_per_device,
                     n_steps=args.steps, overlap=overlap,
                 )
+                def _sq(n):
+                    p = int(n**0.5)
+                    while n % p:
+                        p -= 1
+                    return (p, n // p)
+
                 scaling.weak_scaling_dss2d(
+                    mesh_shapes=tuple(_sq(n) for n in devices),
                     nelemd_per_device=args.nelemd_per_device,
                     n_steps=args.steps,
                 )

@@ -15,6 +15,16 @@ from typing import Callable
 _REGISTRY: dict[str, dict[str, "Variant"]] = {}
 
 
+class UnsupportedConfigError(NotImplementedError):
+    """Raised by a variant factory whose stated applicability excludes the
+    requested config (e.g. a VMEM-window geometry that cannot fit the
+    problem, or a dense recast whose operands exceed HBM).  The driver
+    reports it as an explicit typed SKIP with the reason.  A dedicated
+    type — NOT a bare NotImplementedError — because JAX itself raises
+    NotImplementedError for missing primitive/transform rules, and a
+    regression of that kind must stay a loud FAILURE."""
+
+
 @dataclass(frozen=True)
 class Variant:
     kernel: str

@@ -416,6 +416,43 @@ def make_dist_loop_dss2d(cfg, mesh: Mesh):
     return loop
 
 
+def _rowchain_io(cfg, mesh: Mesh, geom):
+    """Shared shard_inputs/gather plumbing of the distributed rowchain
+    factories: q as (ex, L, ncol) + aux (lrow, w2), all sharded on the
+    element-row axis."""
+    from cdk_tpu.kernels.biharmonic.dss2d import dss2d_weights
+    from cdk_tpu.kernels.biharmonic.operator import (
+        blockdiag_group_operator,
+        build_element_operator,
+    )
+
+    ex, ey, g, gb, gn, L, ncol, ncol0 = geom
+    rr = cfg.np_dtype(cfg.rrearth)
+    rows = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+    def shard_inputs(data: BiharmonicData):
+        Lop = build_element_operator(
+            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
+        )
+        lrow = blockdiag_group_operator(Lop, g).reshape(ex, gb, gn, gn)
+        w2 = dss2d_weights(data.spheremp, ex, ey).reshape(ex, L, 1)
+        q2 = to_lane_layout(data.qtens).reshape(ex, L, cfg.ncol)
+        return (
+            jax.device_put(q2, rows),
+            (jax.device_put(lrow, rows), jax.device_put(w2, rows)),
+        )
+
+    def gather(q2):
+        import numpy as np
+
+        from cdk_tpu.kernels.biharmonic.problem import from_lane_layout
+
+        q_lane = jnp.asarray(q2).reshape(cfg.nelemd, cfg.npts, cfg.ncol)
+        return np.asarray(jax.device_get(from_lane_layout(q_lane, cfg)))
+
+    return shard_inputs, gather
+
+
 def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
     """Distributed t-carry rowchain for the torus-DSS family: element ROWS
     shard over a 1-D mesh (the j direction stays whole per shard — the
@@ -454,18 +491,7 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
     perm_bwd = [(i, (i - 1) % nparts) for i in range(nparts)]
     if overlap and ex // nparts < 2:
         raise ValueError("overlap form needs >= 2 element rows per shard")
-
-    def shard_inputs(data: BiharmonicData):
-        Lop = build_element_operator(
-            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
-        )
-        lrow = blockdiag_group_operator(Lop, g).reshape(ex, gb, gn, gn)
-        w2 = dss2d_weights(data.spheremp, ex, ey).reshape(ex, L, 1)
-        q2 = to_lane_layout(data.qtens).reshape(ex, L, cfg.ncol)
-        return (
-            jax.device_put(q2, rows),
-            (jax.device_put(lrow, rows), jax.device_put(w2, rows)),
-        )
+    shard_inputs, gather = _rowchain_io(cfg, mesh, geom)
 
     def _pad_exchanged(t):
         """Extend the local (ex_loc*L, ncol) t by one ring-exchanged
@@ -525,14 +551,6 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
 
         return run(q2, aux)
 
-    def gather(q2):
-        import numpy as np
-
-        from cdk_tpu.kernels.biharmonic.problem import from_lane_layout
-
-        q_lane = jnp.asarray(q2).reshape(cfg.nelemd, cfg.npts, cfg.ncol)
-        return np.asarray(jax.device_get(from_lane_layout(q_lane, cfg)))
-
     return shard_inputs, loop, gather
 
 
@@ -575,17 +593,7 @@ def make_dist_loop_dss2d_rowchain_kstep(cfg, mesh: Mesh, kstep: int = 4):
     perm_fwd = [(i, (i + 1) % nparts) for i in range(nparts)]
     perm_bwd = [(i, (i - 1) % nparts) for i in range(nparts)]
 
-    def shard_inputs(data: BiharmonicData):
-        Lop = build_element_operator(
-            data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
-        )
-        lrow = blockdiag_group_operator(Lop, g).reshape(ex, gb, gn, gn)
-        w2 = dss2d_weights(data.spheremp, ex, ey).reshape(ex, L, 1)
-        q2 = to_lane_layout(data.qtens).reshape(ex, L, cfg.ncol)
-        return (
-            jax.device_put(q2, rows),
-            (jax.device_put(lrow, rows), jax.device_put(w2, rows)),
-        )
+    shard_inputs, gather = _rowchain_io(cfg, mesh, geom)
 
     def _ext(x, h, ax=0):
         """Extend by h ring-exchanged leading-axis entries per side."""
@@ -599,13 +607,16 @@ def make_dist_loop_dss2d_rowchain_kstep(cfg, mesh: Mesh, kstep: int = 4):
     def _chain(lrow_e, w_e, t, k):
         """k sub-steps on a (ex_loc + 2k)-row extended t, shrinking one
         row per side per sub-step (static shapes; the kernel is
-        shape-generic)."""
+        shape-generic).  lrow_e/w_e are ALWAYS extended by kstep rows per
+        side, so for a remainder chain (k < kstep) every slice is offset
+        by the unused kstep - k extension rows."""
         t_ext = _ext(t.reshape(ex_loc, L, ncol),
                      k).reshape((ex_loc + 2 * k) * L, ncol)
+        off = kstep - k
         for j in range(1, k + 1):
             nrows = ex_loc + 2 * (k - j)
-            lj = lax.slice_in_dim(lrow_e, j, j + nrows, axis=0)
-            wj = lax.slice_in_dim(w_e, j, j + nrows, axis=0)
+            lj = lax.slice_in_dim(lrow_e, off + j, off + j + nrows, axis=0)
+            wj = lax.slice_in_dim(w_e, off + j, off + j + nrows, axis=0)
             t_ext = calls["step_t_padded"](lj, wj, t_ext)
         return t_ext  # (ex_loc * L, ncol)
 
@@ -640,14 +651,6 @@ def make_dist_loop_dss2d_rowchain_kstep(cfg, mesh: Mesh, kstep: int = 4):
             return q[:, :cfg.ncol].reshape(ex_loc, L, cfg.ncol)
 
         return run(q2, aux)
-
-    def gather(q2):
-        import numpy as np
-
-        from cdk_tpu.kernels.biharmonic.problem import from_lane_layout
-
-        q_lane = jnp.asarray(q2).reshape(cfg.nelemd, cfg.npts, cfg.ncol)
-        return np.asarray(jax.device_get(from_lane_layout(q_lane, cfg)))
 
     return shard_inputs, loop, gather
 

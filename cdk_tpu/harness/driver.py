@@ -91,10 +91,11 @@ def run_kernel(
         try:
             step2, aux, vloop = registry._materialize(var, cfg, data)
             out = jax.block_until_ready(step2(aux, data))
-        except NotImplementedError as e:
+        except registry.UnsupportedConfigError as e:
             # a variant whose stated applicability excludes this config
             # (e.g. a VMEM-window geometry that cannot fit the problem) is
-            # a SKIP with its reason, not a failure — crashes still fail
+            # a SKIP with its reason, not a failure — crashes (including
+            # bare NotImplementedError from JAX internals) still fail
             say(f" {name:<22s}: skipped (unsupported here: {e})")
             continue
         except Exception as e:

@@ -263,7 +263,9 @@ def comm_avoid_gain_dss2d(
         raise ValueError(
             f"nelemd={nelemd} (ex={ex}) cannot host kstep={kstep} on "
             f"{n} devices")
-    n_steps = max(kstep, n_steps - n_steps % kstep)
+    # the kstep loop chains n-1 t-steps between the two bridges: make
+    # (n_steps - 1) a kstep multiple so every chain is a full-kstep one
+    n_steps = kstep * max(1, (n_steps - 1) // kstep) + 1
     cfg = with_overrides(BiharmonicConfig(), nelemd=nelemd, nlev=nlev,
                          qsize=qsize, dtype=dtype)
     m = meshmod.make_mesh(n)

@@ -165,7 +165,9 @@ def make_fused_operator_bd(cfg):
     if (e * npts) ** 2 * 4 > 2 * 2**30:
         # typed unsupported-at-this-config skip (driver reports it as a
         # skip with this reason; crashes still FAIL)
-        raise NotImplementedError(
+        from cdk_tpu.core.registry import UnsupportedConfigError
+
+        raise UnsupportedConfigError(
             f"fused_operator_bd: dense operator would be "
             f"{(e * npts) ** 2 * 4 / 2**30:.1f} GiB; use fused_operator"
         )

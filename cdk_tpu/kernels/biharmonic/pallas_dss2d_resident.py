@@ -67,73 +67,27 @@ def _dss2d_resident_kernel(l_ref, w_ref, ql_ref, qc_ref, qr_ref, out_ref, *,
     """Window = (B + 2k) element rows; l_ref (1, Wg, gn, gn) grouped
     operators, w_ref (1, Wg*gn, 1) 2-D inverse assembled mass, q refs =
     k-row halos + B-row center; row_rows = L = ey*np² sublane rows per
-    element row."""
+    element row.  The j pass (incl. its row wrap) and the apply builders
+    are the shared _jpass/_masks_j/_make_apply helpers; only the i pass
+    differs from the rowchain kernels — here it is a full-window ±si
+    shift (the halo rows are in-window), there a ±12-row shift into the
+    neighbor refs."""
     Wg = l_ref.shape[1]
     q2 = jnp.concatenate([ql_ref[...], qc_ref[...], qr_ref[...]], axis=0)
     rows = q2.shape[0]
     w2 = w_ref[0]
     L = row_rows
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    rl = r % L                      # position within the element row
-    p = r % (npg * npg)             # GLL point within the element
     dt = q2.dtype
-    # j pass: j = p % npg boundary masks, split inner vs row-wrap
-    j0 = (r % npg == 0)
-    j3 = (r % npg == npg - 1)
-    first_e = rl < npg * npg
-    last_e = rl >= L - npg * npg
-    m_j0_in = (j0 & ~first_e).astype(dt)
-    m_j0_wr = (j0 & first_e).astype(dt)
-    m_j3_in = (j3 & ~last_e).astype(dt)
-    m_j3_wr = (j3 & last_e).astype(dt)
-    # i pass: i = p // npg boundary masks (shift distance L - npg*(npg-1))
+    masks = _masks_j(rows, npg, L, dt)
+    p = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % (npg * npg)
     m_i0 = (p < npg).astype(dt)
     m_i3 = (p >= npg * (npg - 1)).astype(dt)
-    sj = npg * npg - npg + 1        # 13 at np=4
     si = L - npg * (npg - 1)        # partner row distance across rows
-
-    if precision == "bf16x3":
-        ls = []
-        for b in range(Wg):
-            Lb = l_ref[0, b]
-            L_hi = Lb.astype(jnp.bfloat16)
-            L_lo = (Lb - L_hi.astype(dt)).astype(jnp.bfloat16)
-            ls.append((L_hi, L_lo))
-
-        def apply_all(q):
-            outs = []
-            for b in range(Wg):
-                L_hi, L_lo = ls[b]
-                x = q[b * gn:(b + 1) * gn]
-                x_hi = x.astype(jnp.bfloat16)
-                x_lo = (x - x_hi.astype(dt)).astype(jnp.bfloat16)
-                outs.append(
-                    jnp.dot(L_hi, x_hi, preferred_element_type=dt)
-                    + jnp.dot(L_hi, x_lo, preferred_element_type=dt)
-                    + jnp.dot(L_lo, x_hi, preferred_element_type=dt)
-                )
-            return jnp.concatenate(outs, axis=0)
-    else:
-
-        def apply_all(q):
-            return jnp.concatenate(
-                [
-                    jnp.dot(l_ref[0, b], q[b * gn:(b + 1) * gn],
-                            precision=precision,
-                            preferred_element_type=dt)
-                    for b in range(Wg)
-                ],
-                axis=0,
-            )
+    apply_all = _make_apply(l_ref, Wg, gn, precision, dt)
 
     def body(_, q):
         s = apply_all(q)
-        # j pass (window-local; wrap = the same pairing at distance L-sj)
-        t = (s
-             + m_j0_in * _shift_down(s, sj)
-             + m_j0_wr * _shift_up(s, L - sj)
-             + m_j3_in * _shift_up(s, sj)
-             + m_j3_wr * _shift_down(s, L - sj))
+        t = _jpass(s, masks, npg, L)
         # i pass of the j-summed field (consumes one halo row per side)
         d = (t
              + m_i0 * _shift_down(t, si)
@@ -162,7 +116,9 @@ def _geometry(ex, ey, g, gn, ncol, itemsize, nsteps):
         ops = wg * gn * gn * itemsize * 2
         if field + ops <= 6 * 2**20:
             return k, B, ncol_blk
-    raise NotImplementedError(
+    from cdk_tpu.core.registry import UnsupportedConfigError
+
+    raise UnsupportedConfigError(
         f"torus-DSS full-row window ({(B + 2) * gb * gn} sublane rows) "
         f"exceeds the VMEM budget at this size; use the rowchain forms"
     )

@@ -68,7 +68,9 @@ def _make_onehot(cfg, precision):
     # skip; gather_peradv is the production exact form (round2-summary).
     itemsize = 2 if precision == "default" else 4
     if 2 * cfg.nedges * ncells * itemsize > 2 * 2**30:
-        raise NotImplementedError(
+        from cdk_tpu.core.registry import UnsupportedConfigError
+
+        raise UnsupportedConfigError(
             f"onehot_mxu: connectivity matrices would be "
             f"{2 * cfg.nedges * ncells * itemsize / 2**30:.1f} GiB; "
             f"use gather_peradv at this scale"

@@ -160,7 +160,9 @@ def _make_pallas(cfg, precision):
     # losing 8x at production ncells, and at 256k x 28k the run OOMs;
     # typed skip (gather_peradv is the production exact form)
     if cfg.nedges * cfg.ncells > 200_000_000:
-        raise NotImplementedError(
+        from cdk_tpu.core.registry import UnsupportedConfigError
+
+        raise UnsupportedConfigError(
             f"pallas_onehot: O(nedges*ncells) one-hot rebuild infeasible "
             f"at {cfg.nedges}x{cfg.ncells}; use gather_peradv"
         )

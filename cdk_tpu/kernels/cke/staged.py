@@ -94,7 +94,9 @@ def make_staged_consume(cfg):
     # size (measured RESOURCE_EXHAUSTED); typed skip past ~512 MiB staged
     kpad = -(-cfg.nvertlevels // 128) * 128
     if cfg.nadv * cfg.nedges * kpad * 4 > 512 * 2**20:
-        raise NotImplementedError(
+        from cdk_tpu.core.registry import UnsupportedConfigError
+
+        raise UnsupportedConfigError(
             f"staged_consume: (nAdv, E, K) staging would be "
             f"{cfg.nadv * cfg.nedges * kpad * 4 / 2**30:.2f} GiB; "
             f"use gather_peradv at this scale"

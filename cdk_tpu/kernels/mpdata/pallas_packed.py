@@ -323,7 +323,9 @@ def _make_packed_forms(cfg, compute_dtype=None):
     interpret = pallas_interpret()
     nzm, nz = cfg.nzm, cfg.nz
     if nz > SEG or cfg.nslices % 2:
-        raise NotImplementedError(
+        from cdk_tpu.core.registry import UnsupportedConfigError
+
+        raise UnsupportedConfigError(
             f"pallas_packed needs nz <= {SEG} and even nslices "
             f"(got nz={nz}, nslices={cfg.nslices})"
         )

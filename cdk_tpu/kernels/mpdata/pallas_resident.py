@@ -312,7 +312,9 @@ def _make_resident_forms(cfg, hoisted: bool):
     interpret = pallas_interpret()
     nzm, nz = cfg.nzm, cfg.nz
     if nz > SEG or cfg.nslices % 2:
-        raise NotImplementedError(
+        from cdk_tpu.core.registry import UnsupportedConfigError
+
+        raise UnsupportedConfigError(
             f"pallas_resident needs nz <= {SEG} and even nslices "
             f"(got nz={nz}, nslices={cfg.nslices})"
         )

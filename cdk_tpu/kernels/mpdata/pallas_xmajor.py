@@ -166,7 +166,9 @@ def make_pallas_xmajor(cfg):
     interpret = pallas_interpret()
     nzm, nz = cfg.nzm, cfg.nz
     if nz > SEG:
-        raise NotImplementedError(f"pallas_xmajor needs nz <= {SEG} (got {nz})")
+        from cdk_tpu.core.registry import UnsupportedConfigError
+
+        raise UnsupportedConfigError(f"pallas_xmajor needs nz <= {SEG} (got {nz})")
     nsl = cfg.nslices
 
     def prepare(data: MpdataData):

@@ -308,11 +308,18 @@ def test_dss2d_dist_rowchain_matches_chained_reference(ndev, n):
     assert rel_l2(gather(loop(q2, aux, n)), np.asarray(q)) < 1e-13
 
 
-@pytest.mark.parametrize("ndev,kstep,n", [(2, 2, 5), (2, 4, 5), (4, 2, 9)])
+@pytest.mark.parametrize(
+    "ndev,kstep,n",
+    [(2, 2, 5), (2, 4, 5), (4, 2, 9),
+     # (n-1) % kstep != 0: the remainder chain (k < kstep) slices the
+     # kstep-extended operator windows at an offset — regression cases
+     # for the misaligned-slice bug the first cut shipped
+     (2, 4, 4), (2, 2, 4), (2, 4, 2)],
+)
 def test_dss2d_dist_rowchain_kstep_matches_chained_reference(ndev, kstep, n):
     """Communication-avoiding rowchain (kstep t rows exchanged once per
     kstep sub-steps; shrinking-window local chain) == chained reference
-    at f64, including the n % kstep remainder path."""
+    at f64, including the (n-1) % kstep remainder path."""
     import dataclasses
 
     from cdk_tpu.core.registry import _materialize, get

@@ -452,7 +452,9 @@ def test_pallas_packed_rejects_bad_geometry():
         cfg = with_overrides(MpdataConfig(), **kw)
         from cdk_tpu.core.registry import get
 
-        with _pytest.raises(NotImplementedError):
+        from cdk_tpu.core.registry import UnsupportedConfigError
+
+        with _pytest.raises(UnsupportedConfigError):
             get("mpdata", "pallas_packed").fn(cfg)
 
 
