@@ -432,9 +432,6 @@ def _rowchain_calls(cfg, precision, interpret):
             return jnp.pad(q2, ((0, 0), (0, ncol - ncol0)))
         return q2
 
-    def wrap_rows(t):
-        return jnp.concatenate([t[-L:], t, t[:L]], axis=0)
-
     def bridge_in(lrow, q2):
         exl = lrow.shape[0]
         return pl.pallas_call(
@@ -463,11 +460,31 @@ def _rowchain_calls(cfg, precision, interpret):
     def bridge_out_padded(lrow, wrow, tp):
         return _padded_call(_rowchain_bridge_out_kernel, lrow, wrow, tp)
 
+    def _mod_call(kernel, lrow, wrow, t):
+        # Single-chip form: the torus wrap lives in mod-ex block index
+        # maps (the 1-D chain's trick), so the step never materializes
+        # the wrap-padded copy of t — wrap_rows costs a full-field
+        # read+write per step, ~1/3 of the rowchain's steady-state HBM
+        # traffic.  The dist path keeps the *_padded entry points (its
+        # halo rows arrive by ppermute, not by wraparound indexing).
+        exl = lrow.shape[0]
+        rowm = lambda off: pl.BlockSpec(
+            (L, ncol_blk), lambda i, c, o=off: ((i + o) % exl, c),
+            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(kernel, **kw),
+            out_shape=jax.ShapeDtypeStruct((exl * L, ncol), t.dtype),
+            grid=(exl, ncol // ncol_blk),
+            in_specs=[lspec, wspec, rowm(-1), rowm(0), rowm(1)],
+            out_specs=row(0),
+            interpret=interpret,
+        )(lrow, wrow, t, t, t)
+
     def step_t(lrow, wrow, t):
-        return step_t_padded(lrow, wrow, wrap_rows(t))
+        return _mod_call(_rowchain_step_kernel, lrow, wrow, t)
 
     def bridge_out(lrow, wrow, t):
-        return bridge_out_padded(lrow, wrow, wrap_rows(t))
+        return _mod_call(_rowchain_bridge_out_kernel, lrow, wrow, t)
 
     calls = {
         "bridge_in": bridge_in,
