@@ -310,11 +310,11 @@ def _masks_j(rows, npg, L, dt):
             (j3 & ~last_e).astype(dt), (j3 & last_e).astype(dt))
 
 
-def _make_apply(l_ref, gb, gn, precision, dt):
+def _make_apply(l_ref, gb, gn, precision, dt, row=0):
     if precision == "bf16x3":
         ls = []
         for b in range(gb):
-            Lb = l_ref[0, b]
+            Lb = l_ref[row, b]
             L_hi = Lb.astype(jnp.bfloat16)
             ls.append((L_hi, (Lb - L_hi.astype(dt)).astype(jnp.bfloat16)))
 
@@ -337,7 +337,7 @@ def _make_apply(l_ref, gb, gn, precision, dt):
     def apply_all(q):
         return jnp.concatenate(
             [
-                jnp.dot(l_ref[0, b], q[b * gn:(b + 1) * gn],
+                jnp.dot(l_ref[row, b], q[b * gn:(b + 1) * gn],
                         precision=precision, preferred_element_type=dt)
                 for b in range(gb)
             ],
@@ -400,6 +400,44 @@ def _rowchain_bridge_out_kernel(l_ref, w_ref, tu_ref, tc_ref, td_ref,
     out_ref[...] = apply_all(
         _ipass_w(tu_ref[...], tc_ref[...], td_ref[...], w_ref[0], npg, dt)
     )
+
+
+def _rowchain_step_blocked_kernel(l_ref, w_ref, up_ref, c_ref, dn_ref,
+                                  out_ref, *, precision, gb, gn, npg, bi):
+    """Spatially-blocked step: Bi owned element rows per grid cell, read
+    (Bi+2) rows (the Bi center rows + ONE halo row per side) and write Bi —
+    per-owned-row HBM traffic drops from 3R+1W to ((Bi+2)R + Bi·W)/Bi.
+    Motivation: the round-3 DMA decomposition (scripts/
+    dss2d_rowchain_probe.py) measured the unblocked step at 2453 µs/step of
+    which 2339 µs is the DMA pipeline alone at the ~600 GB/s streaming
+    ceiling — the kernel is >95% memory-bound, so traffic is the only
+    lever.  Each owned row is processed as a row-sized value (never a
+    concatenated multi-row array — the resident form's 3456-row window
+    values are what crashed Mosaic at production)."""
+    dt = c_ref.dtype
+    L = gb * gn
+    masks = _masks_j(L, npg, L, dt)
+    for r in range(bi):
+        tu = up_ref[...] if r == 0 else c_ref[(r - 1) * L:r * L]
+        tc = c_ref[r * L:(r + 1) * L]
+        td = dn_ref[...] if r == bi - 1 else c_ref[(r + 1) * L:(r + 2) * L]
+        apply_all = _make_apply(l_ref, gb, gn, precision, dt, row=r)
+        d = _ipass_w(tu, tc, td, w_ref[r], npg, dt)
+        out_ref[r * L:(r + 1) * L] = _jpass(apply_all(apply_all(d)), masks,
+                                            npg, L)
+
+
+def _pick_bi(ex, L, ncol_blk, itemsize, budget=10 * 2**20, cap=8):
+    """Largest divisor of ex (<= cap) whose blocked-step live set —
+    (Bi+2) input rows + Bi output rows + Bi operator blocks + ~5 temp rows,
+    all (L, ncol_blk) — fits the budget.  The budget stays well under the
+    16 MB scoped-VMEM limit: an over-budget Mosaic compile crashes the
+    helper AND wedges the remote tunnel for ~20 min (round-2 lesson)."""
+    row = L * ncol_blk * itemsize
+    for bi in range(cap, 1, -1):
+        if ex % bi == 0 and (3 * bi + 7) * row <= budget:
+            return bi
+    return 1
 
 
 def _rowchain_calls(cfg, precision, interpret):
@@ -486,12 +524,42 @@ def _rowchain_calls(cfg, precision, interpret):
     def bridge_out(lrow, wrow, t):
         return _mod_call(_rowchain_bridge_out_kernel, lrow, wrow, t)
 
+    bi = _pick_bi(ex, L, ncol_blk, itemsize)
+
+    def step_t_blocked(lrow, wrow, t):
+        # Bi owned rows per grid cell; one halo row per side via separate
+        # 1-row refs (mod-ex wrap in the index maps, like _mod_call)
+        return pl.pallas_call(
+            functools.partial(_rowchain_step_blocked_kernel, bi=bi, **kw),
+            out_shape=jax.ShapeDtypeStruct((ex * L, ncol), t.dtype),
+            grid=(ex // bi, ncol // ncol_blk),
+            in_specs=[
+                pl.BlockSpec((bi, gb, gn, gn), lambda i, c: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bi, L, 1), lambda i, c: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, ncol_blk),
+                             lambda i, c: ((i * bi - 1) % ex, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, ncol_blk),
+                             lambda i, c: ((i * bi + bi) % ex, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(lrow, wrow, t, t, t)
+
     calls = {
         "bridge_in": bridge_in,
-        "step_t": step_t,
+        "step_t": step_t_blocked if bi > 1 else step_t,
         "bridge_out": bridge_out,
         "step_t_padded": step_t_padded,
         "bridge_out_padded": bridge_out_padded,
+        "step_t_unblocked": step_t,
+        "bi": bi,
     }
     return calls, (ex, ey, g, gb, gn, L, ncol, ncol0)
 
@@ -552,8 +620,11 @@ def _rowchain_forms(cfg, precision: str):
     "biharmonic_dss2d",
     "fused_operator_rowchain",
     "t-carry rowchain: carry the j-assembled first-apply output between "
-    "steps so each fused kernel needs only 1-row windows (production-"
-    "scale; steady state reads 3 rows + writes 1 per step; 'highest' dots)",
+    "steps so each fused kernel needs only row-local windows (production-"
+    "scale; loop steps run spatially BLOCKED — Bi owned rows + 1 halo row "
+    "per side per grid cell, cutting the memory-bound steady state 1.29x: "
+    "2484 -> 1931 us/step at production, probe-decomposed as >95% DMA; "
+    "'highest' dots)",
 )
 def make_dss2d_rowchain(cfg):
     return _rowchain_forms(cfg, "highest")
@@ -562,7 +633,8 @@ def make_dss2d_rowchain(cfg):
 @register(
     "biharmonic_dss2d",
     "fused_operator_rowchain_x3",
-    "t-carry rowchain with manual 3-pass bf16 f32-emulation dots",
+    "t-carry rowchain with manual 3-pass bf16 f32-emulation dots (loop "
+    "steps spatially blocked like fused_operator_rowchain)",
     supports_f64=False,
 )
 def make_dss2d_rowchain_x3(cfg):

@@ -215,11 +215,14 @@ def test_dss2d_resident_chain_matches_chained_reference(nelemd):
         assert rel_l2(np.asarray(loop(data, n)), np.asarray(q)) < 1e-13, n
 
 
-@pytest.mark.parametrize("nelemd", [12, 16])
+@pytest.mark.parametrize("nelemd", [12, 16, 160])
 def test_dss2d_rowchain_matches_chained_reference(nelemd):
     """The t-carry rowchain (bridge-in → (n-1) fused t-steps →
     bridge-out; 1-row windows) == chained reference steps at f64.  n=2
-    exercises one fused t-step, n=5 the scan path."""
+    exercises one fused t-step, n=5 the scan path.  nelemd=160 (16x10
+    torus) runs the spatially-BLOCKED step (bi=8 < ex=16: two grid cells,
+    so the halo rows cross block boundaries AND wrap); 12/16 run bi=ex
+    single-cell wrap."""
     import dataclasses
 
     from cdk_tpu.core.registry import _materialize, get
