@@ -55,6 +55,7 @@ def run_kernel(
     iters: int = 10,
     trials: int = 3,
     quiet: bool = False,
+    min_delta: float = 5e-3,
 ) -> list[VariantResult]:
     spec = get_spec(kernel)
     cfg = cfg or spec.default_config()
@@ -119,7 +120,7 @@ def run_kernel(
             make_runner = lambda n: spec.scan_runner(step2, aux, n)
         try:
             sec = slope_time(make_runner, data, n1=iters, n2=8 * iters,
-                             trials=trials)
+                             trials=trials, min_delta=min_delta)
         except Exception as e:
             # timing failure must not drop the verification verdict: keep
             # the result (ok from the check) with no throughput claim
