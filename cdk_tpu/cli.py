@@ -102,7 +102,31 @@ def main(argv=None) -> int:
                         help="mpdata: also measure the communication-"
                         "avoiding kstep loop vs the per-step loop")
 
+    mpp = sub.add_parser(
+        "dist-mp",
+        help="real multi-controller parity run: N OS processes joined by "
+        "jax.distributed (CPU/Gloo collectives), each verifying the "
+        "N-process dist result against its local single-process reference",
+    )
+    mpp.add_argument("kernel", nargs="?", default="all",
+                     choices=["mpdata", "cke", "biharmonic_dss2d", "all"])
+    mpp.add_argument("--nproc", type=int, default=2)
+    mpp.add_argument("--steps", type=int, default=3)
+    mpp.add_argument("--devices-per-proc", type=int, default=2)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "dist-mp":
+        from cdk_tpu.dist.multiproc import PARITY, launch
+
+        kernels = sorted(PARITY) if args.kernel == "all" else [args.kernel]
+        rc = 0
+        for k in kernels:
+            verdicts = launch(k, nproc=args.nproc, steps=args.steps,
+                              devices_per_proc=args.devices_per_proc)
+            if not all(v["ok"] for v in verdicts):
+                rc = 1
+        return rc
 
     if args.cmd == "verify":
         import os

@@ -445,9 +445,11 @@ def _rowchain_io(cfg, mesh: Mesh, geom):
     def gather(q2):
         import numpy as np
 
+        from cdk_tpu.dist.mesh import to_host_global
         from cdk_tpu.kernels.biharmonic.problem import from_lane_layout
 
-        q_lane = jnp.asarray(q2).reshape(cfg.nelemd, cfg.npts, cfg.ncol)
+        q_lane = jnp.asarray(to_host_global(q2)).reshape(
+            cfg.nelemd, cfg.npts, cfg.ncol)
         return np.asarray(jax.device_get(from_lane_layout(q_lane, cfg)))
 
     return shard_inputs, gather

@@ -56,6 +56,20 @@ def make_mesh2d(n_devices: int | None = None,
     )
 
 
+def to_host_global(a) -> np.ndarray:
+    """Fetch a (possibly multi-controller) jax.Array as the full global
+    host ndarray: a plain device_get when every shard is process-local, a
+    `process_allgather` when shards live on other processes' devices
+    (jax refuses a direct fetch there).  Lets the dist gathers work
+    unchanged under both the single-process virtual mesh and real
+    multi-process runs (dist.multiproc)."""
+    if getattr(a, "is_fully_addressable", True):
+        return np.asarray(a)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+
 def domain_sharding(mesh: Mesh, rank: int, sharded_dim: int = 0):
     """NamedSharding splitting `sharded_dim` of a rank-`rank` array over the
     mesh's domain axis, replicating the rest."""

@@ -398,14 +398,16 @@ def make_dist_step(cfg, mesh: Mesh, halo: int = HALO,
         return f_out, flux_out
 
     def gather_f(f_s):
-        """Collect the sharded f back to the reference global layout."""
+        """Collect the sharded f back to the reference global layout
+        (multi-controller safe: see dist.mesh.to_host_global)."""
+        from cdk_tpu.dist.mesh import to_host_global
+
+        f_h = jnp.asarray(to_host_global(f_s))
         if use_xmajor:
-            return np.asarray(
-                px.unpack3x(jnp.asarray(f_s), nsl, nzm_l)
-            )[:, :xg]
+            return np.asarray(px.unpack3x(f_h, nsl, nzm_l))[:, :xg]
         if use_packed:
-            return np.asarray(pk.unpack3(jnp.asarray(f_s), nzm_l))[:, :xg]
-        return np.asarray(f_s)[:, :xg]
+            return np.asarray(pk.unpack3(f_h, nzm_l))[:, :xg]
+        return np.asarray(f_h)[:, :xg]
 
     return shard_inputs, step, gather_f
 
