@@ -427,6 +427,62 @@ def _rowchain_step_blocked_kernel(l_ref, w_ref, up_ref, c_ref, dn_ref,
                                             npg, L)
 
 
+def _rowchain_step2_blocked_kernel(lu_ref, lc_ref, ld_ref, wu_ref, wc_ref,
+                                   wd_ref, up2_ref, up1_ref, c_ref, dn1_ref,
+                                   dn2_ref, out_ref, *, precision,
+                                   gb, gn, npg, bi):
+    """TWO chained t-steps per invocation over Bi owned rows (the temporal
+    k=2 deepening of _rowchain_step_blocked_kernel): read Bi+4 t rows
+    (2 halo rows per side — each in-kernel step consumes one), write Bi.
+    Steady-state HBM traffic per owned-row-step drops another ~1.5x vs the
+    k=1 blocked step ((Bi+4+Bi) t rows + (Bi+2) operator blocks per 2·Bi
+    row-steps).  The intermediate t' rows are computed on demand with a
+    3-row rolling window, so at most 3 extra row-sized values are live —
+    the same row-local discipline that keeps Mosaic inside VMEM.
+
+    Halo validity: t'_j for j in [-1, Bi] needs t rows j-1..j+1, i.e. the
+    up2/dn2 refs; out_r (r in [0, Bi)) needs t'_{r-1}..t'_{r+1} — exactly
+    the computed range.  Operators/weights for row j=-1 (j=Bi) come from
+    the dedicated up (down) refs since a (Bi+2)-row block cannot sit at
+    the i·Bi-1 offset in block-index units."""
+    dt = c_ref.dtype
+    L = gb * gn
+    masks = _masks_j(L, npg, L, dt)
+
+    def t_row(j):
+        if j == -2:
+            return up2_ref[...]
+        if j == -1:
+            return up1_ref[...]
+        if j == bi:
+            return dn1_ref[...]
+        if j == bi + 1:
+            return dn2_ref[...]
+        return c_ref[j * L:(j + 1) * L]
+
+    def ops_w(j):
+        if j == -1:
+            return lu_ref, 0, wu_ref[0]
+        if j == bi:
+            return ld_ref, 0, wd_ref[0]
+        return lc_ref, j, wc_ref[j]
+
+    def tprime(j):
+        l_ref, row, w = ops_w(j)
+        apply_all = _make_apply(l_ref, gb, gn, precision, dt, row=row)
+        d = _ipass_w(t_row(j - 1), t_row(j), t_row(j + 1), w, npg, dt)
+        return _jpass(apply_all(apply_all(d)), masks, npg, L)
+
+    tp_prev, tp_cur = tprime(-1), tprime(0)
+    for r in range(bi):
+        tp_next = tprime(r + 1)
+        apply_all = _make_apply(lc_ref, gb, gn, precision, dt, row=r)
+        d = _ipass_w(tp_prev, tp_cur, tp_next, wc_ref[r], npg, dt)
+        out_ref[r * L:(r + 1) * L] = _jpass(apply_all(apply_all(d)), masks,
+                                            npg, L)
+        tp_prev, tp_cur = tp_cur, tp_next
+
+
 def _pick_bi(ex, L, ncol_blk, itemsize, budget=10 * 2**20, cap=8):
     """Largest divisor of ex (<= cap) whose blocked-step live set —
     (Bi+2) input rows + Bi output rows + Bi operator blocks + ~5 temp rows,
@@ -552,9 +608,52 @@ def _rowchain_calls(cfg, precision, interpret):
             interpret=interpret,
         )(lrow, wrow, t, t, t)
 
+    # temporal k=2 double-step: needs 2 halo rows per side; the extra
+    # live set ((bi+4) t rows + 3 t'-rows + (bi+2) operator blocks) is
+    # budgeted against the same 10 MB guard as _pick_bi
+    row_b = L * ncol_blk * itemsize
+    bi2_ok = bi > 1 and ex % bi == 0 and ex // bi >= 1 and (
+        (3 * bi + 12) * row_b <= 12 * 2**20)
+
+    def step2_t_blocked(lrow, wrow, t):
+        lrow1 = lambda o: pl.BlockSpec(
+            (1, gb, gn, gn), lambda i, c, o=o: ((i * bi + o) % ex, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        w1 = lambda o: pl.BlockSpec(
+            (1, L, 1), lambda i, c, o=o: ((i * bi + o) % ex, 0, 0),
+            memory_space=pltpu.VMEM)
+        trow = lambda o: pl.BlockSpec(
+            (L, ncol_blk), lambda i, c, o=o: ((i * bi + o) % ex, c),
+            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_rowchain_step2_blocked_kernel, bi=bi, **kw),
+            out_shape=jax.ShapeDtypeStruct((ex * L, ncol), t.dtype),
+            grid=(ex // bi, ncol // ncol_blk),
+            in_specs=[
+                lrow1(-1),
+                pl.BlockSpec((bi, gb, gn, gn), lambda i, c: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                lrow1(bi),
+                w1(-1),
+                pl.BlockSpec((bi, L, 1), lambda i, c: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                w1(bi),
+                trow(-2),
+                trow(-1),
+                pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
+                             memory_space=pltpu.VMEM),
+                trow(bi),
+                trow(bi + 1),
+            ],
+            out_specs=pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(lrow, lrow, lrow, wrow, wrow, wrow, t, t, t, t, t)
+
     calls = {
         "bridge_in": bridge_in,
         "step_t": step_t_blocked if bi > 1 else step_t,
+        "step2_t": step2_t_blocked if bi2_ok else None,
         "bridge_out": bridge_out,
         "step_t_padded": step_t_padded,
         "bridge_out_padded": bridge_out_padded,
@@ -575,6 +674,7 @@ def _rowchain_forms(cfg, precision: str):
     calls, geom = _rowchain_calls(cfg, precision, interpret)
     bridge_in, step_t, bridge_out = (
         calls["bridge_in"], calls["step_t"], calls["bridge_out"])
+    step2_t = calls["step2_t"]
     _, _, _, gb, gn, L, ncol, _ = geom
 
     def _build(data):
@@ -607,10 +707,16 @@ def _rowchain_forms(cfg, precision: str):
     def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
         lrow, w2 = _build(data)
         t = bridge_in(lrow, _q2(data.qtens))
-        if n > 1:
+        nt = n - 1
+        if step2_t is not None and nt >= 2:
+            t, _ = jax.lax.scan(
+                lambda tt, _: (step2_t(lrow, w2, tt), None), t, None,
+                length=nt // 2)
+            nt %= 2
+        if nt:
             t, _ = jax.lax.scan(
                 lambda tt, _: (step_t(lrow, w2, tt), None), t, None,
-                length=n - 1)
+                length=nt)
         return _from_q2(bridge_out(lrow, w2, t))
 
     return {"prepare": prepare, "step": step, "loop": loop}

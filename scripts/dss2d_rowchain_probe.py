@@ -130,10 +130,14 @@ def make_loop(stepper):
     return loop
 
 
-print(f"bi={calls['bi']}", flush=True)
+print(f"bi={calls['bi']} step2={'yes' if calls['step2_t'] else 'no'}",
+      flush=True)
 steppers = {
     "full": lambda t: calls["step_t_unblocked"](lrow, w2, t),
     "blocked": lambda t: calls["step_t"](lrow, w2, t),
+    # NOTE: one blocked2 invocation = TWO t-steps; the printed slope is
+    # per-invocation — halve it for the per-step figure
+    "blocked2": lambda t: calls["step2_t"](lrow, w2, t),
     "dma_only": lambda t: mod_call(_dma_kernel, t),
     "dots_only": lambda t: mod_call(_dots_kernel, t),
     "shifts": lambda t: mod_call(_shifts_kernel, t),
