@@ -483,12 +483,21 @@ def _rowchain_step2_blocked_kernel(lu_ref, lc_ref, ld_ref, wu_ref, wc_ref,
         tp_prev, tp_cur = tp_cur, tp_next
 
 
-def _pick_bi(ex, L, ncol_blk, itemsize, budget=10 * 2**20, cap=8):
+# The Mosaic scoped-VMEM limit defaults to 16 MB on a chip with 128 MB of
+# VMEM; the blocked kernels request a higher limit explicitly
+# (CompilerParams.vmem_limit_bytes) instead of shrinking their geometry to
+# the default — round 2 treated the 16 MB default as a hard wall (every
+# "scoped-VMEM OOM" skip in results/), which it is not.  Budgets below are
+# sized so 2x double-buffered windows + the kernel value stack stay well
+# under the requested limit.
+VMEM_LIMIT = 64 * 2**20
+
+
+def _pick_bi(ex, L, ncol_blk, itemsize, budget=24 * 2**20, cap=8):
     """Largest divisor of ex (<= cap) whose blocked-step live set —
     (Bi+2) input rows + Bi output rows + Bi operator blocks + ~5 temp rows,
-    all (L, ncol_blk) — fits the budget.  The budget stays well under the
-    16 MB scoped-VMEM limit: an over-budget Mosaic compile crashes the
-    helper AND wedges the remote tunnel for ~20 min (round-2 lesson)."""
+    all (L, ncol_blk), double-buffered windows included via the margin —
+    fits the budget (vs the VMEM_LIMIT the kernel requests)."""
     row = L * ncol_blk * itemsize
     for bi in range(cap, 1, -1):
         if ex % bi == 0 and (3 * bi + 7) * row <= budget:
@@ -605,15 +614,18 @@ def _rowchain_calls(cfg, precision, interpret):
             ],
             out_specs=pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
                                    memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
         )(lrow, wrow, t, t, t)
 
     # temporal k=2 double-step: needs 2 halo rows per side; the extra
     # live set ((bi+4) t rows + 3 t'-rows + (bi+2) operator blocks) is
-    # budgeted against the same 10 MB guard as _pick_bi
+    # budgeted against the requested VMEM_LIMIT like _pick_bi
     row_b = L * ncol_blk * itemsize
     bi2_ok = bi > 1 and ex % bi == 0 and ex // bi >= 1 and (
-        (3 * bi + 12) * row_b <= 12 * 2**20)
+        (3 * bi + 12) * row_b <= 24 * 2**20)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
     def step2_t_blocked(lrow, wrow, t):
         lrow1 = lambda o: pl.BlockSpec(
@@ -647,6 +659,7 @@ def _rowchain_calls(cfg, precision, interpret):
             ],
             out_specs=pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
                                    memory_space=pltpu.VMEM),
+            compiler_params=cparams,
             interpret=interpret,
         )(lrow, lrow, lrow, wrow, wrow, wrow, t, t, t, t, t)
 
