@@ -663,6 +663,60 @@ def _rowchain_calls(cfg, precision, interpret):
             interpret=interpret,
         )(lrow, lrow, lrow, wrow, wrow, wrow, t, t, t, t, t)
 
+    def step2_padded_factory(bi_d):
+        """Padded double-step for the dist loop: every operand is padded
+        with bi_d rows per side (t: innermost TWO rows valid, ppermuted;
+        lrow/w2: innermost ONE row valid — the j=-1 / j=bi t' rows need
+        the NEIGHBOR shard's operators).  Pad width bi_d keeps the center
+        blocks aligned to bi_d-row block units; the outer pad rows are
+        zeros and never read.  Index maps are offset, not mod — the torus
+        wrap rides the ppermute like the other *_padded entry points."""
+        kw_d = dict(kw, bi=bi_d)
+
+        def call(lrow_p, wrow_p, tp):
+            exl = lrow_p.shape[0] - 2 * bi_d
+            lrow1 = lambda o: pl.BlockSpec(
+                (1, gb, gn, gn),
+                lambda i, c, o=o: (bi_d + i * bi_d + o, 0, 0, 0),
+                memory_space=pltpu.VMEM)
+            w1 = lambda o: pl.BlockSpec(
+                (1, L, 1), lambda i, c, o=o: (bi_d + i * bi_d + o, 0, 0),
+                memory_space=pltpu.VMEM)
+            trow = lambda o: pl.BlockSpec(
+                (L, ncol_blk), lambda i, c, o=o: (bi_d + i * bi_d + o, c),
+                memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                functools.partial(_rowchain_step2_blocked_kernel, **kw_d),
+                out_shape=jax.ShapeDtypeStruct((exl * L, ncol), tp.dtype),
+                grid=(exl // bi_d, ncol // ncol_blk),
+                in_specs=[
+                    lrow1(-1),
+                    pl.BlockSpec((bi_d, gb, gn, gn),
+                                 lambda i, c: (i + 1, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    lrow1(bi_d),
+                    w1(-1),
+                    pl.BlockSpec((bi_d, L, 1), lambda i, c: (i + 1, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    w1(bi_d),
+                    trow(-2),
+                    trow(-1),
+                    pl.BlockSpec((bi_d * L, ncol_blk),
+                                 lambda i, c: (i + 1, c),
+                                 memory_space=pltpu.VMEM),
+                    trow(bi_d),
+                    trow(bi_d + 1),
+                ],
+                out_specs=pl.BlockSpec((bi_d * L, ncol_blk),
+                                       lambda i, c: (i, c),
+                                       memory_space=pltpu.VMEM),
+                compiler_params=cparams,
+                interpret=interpret,
+            )(lrow_p, lrow_p, lrow_p, wrow_p, wrow_p, wrow_p,
+              tp, tp, tp, tp, tp)
+
+        return call
+
     calls = {
         "bridge_in": bridge_in,
         "step_t": step_t_blocked if bi > 1 else step_t,
@@ -670,8 +724,10 @@ def _rowchain_calls(cfg, precision, interpret):
         "bridge_out": bridge_out,
         "step_t_padded": step_t_padded,
         "bridge_out_padded": bridge_out_padded,
+        "step2_padded_factory": step2_padded_factory,
         "step_t_unblocked": step_t,
         "bi": bi,
+        "ncol_blk": ncol_blk,
     }
     return calls, (ex, ey, g, gb, gn, L, ncol, ncol0)
 

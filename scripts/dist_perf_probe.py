@@ -210,6 +210,27 @@ def dss_prod():
               f"us/step  {pts / 1e9:7.2f} G pts/s", flush=True)
 
 
+def dss2d_dist():
+    """Production 2-D torus DSS: the distributed rowchain loop on a
+    1-device mesh, slope-timed — round 3 runs the blocked DOUBLE-step
+    kernel inside shard_map (one 2-row exchange per two t-steps)."""
+    from cdk_tpu.core.config import production_config
+    from cdk_tpu.dist import biharmonic as dist_bi, mesh as meshmod
+    from cdk_tpu.kernels.biharmonic import problem
+
+    cfg = production_config("biharmonic_dss2d")
+    m = meshmod.make_mesh(1)
+    data = problem.init_data(cfg)
+    shard_inputs, loop, gather = dist_bi.make_dist_loop_dss2d_rowchain(
+        cfg, m)
+    q2, aux = shard_inputs(data)
+    sec = _time_loop(lambda q, a, n: loop(q, a, n), (q2, aux), n1=10,
+                     n2=60)
+    pts = cfg.grid_points / sec
+    print(f"[dist dss2d rowchain 1dev] {sec * 1e6:9.2f} us/step  "
+          f"{pts / 1e9:7.2f} G pts/s", flush=True)
+
+
 def main(phase: str) -> int:
     from cdk_tpu.core.platform import enable_compilation_cache
 
@@ -235,6 +256,8 @@ def main(phase: str) -> int:
         dss()
     elif phase == "dss_prod":
         dss_prod()
+    elif phase == "dss2d_dist":
+        dss2d_dist()
     else:
         raise SystemExit(f"unknown phase {phase}")
     return 0
