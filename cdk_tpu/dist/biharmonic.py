@@ -508,9 +508,13 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
     # bonus that the t exchange happens once per TWO steps.  Falls back
     # to the 1-row step when the local row count has no usable divisor.
     exl_rows = ex // nparts
+    row_b = L * calls["ncol_blk"] * cfg.np_dtype(0).itemsize
     bi_d = 1
     for cand in range(min(8, exl_rows), 1, -1):
-        if exl_rows % cand == 0:
+        # same live-set budget as the single-chip bi2_ok gate (the step2
+        # window + operators, double-buffered, vs the requested 64 MB
+        # scoped-VMEM limit)
+        if exl_rows % cand == 0 and (3 * cand + 12) * row_b <= 24 * 2**20:
             bi_d = cand
             break
     step2_padded = (calls["step2_padded_factory"](bi_d)
@@ -586,7 +590,7 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
             lrow, w2 = aux
             exl = lrow.shape[0]
             t = calls["bridge_in"](lrow, q_loc.reshape(exl * L, cfg.ncol))
-            nt = n - 1
+            nt = max(n - 1, 0)
             if step2_padded is not None and not overlap and nt >= 2:
                 lrow_p, w2_p = _pad2_ops(lrow, w2)
                 t, _ = lax.scan(

@@ -82,7 +82,6 @@ def _parity_cke(steps: int):
     from cdk_tpu.dist import cke as dist_cke
     from cdk_tpu.dist import mesh as meshmod
     from cdk_tpu.kernels.cke import problem, reference
-    from jax.experimental import multihost_utils
 
     import jax
 
@@ -95,8 +94,9 @@ def _parity_cke(steps: int):
     data_s = dist_cke.shard_data(data, m)
     loop = dist_cke.make_dist_loop(cfg, m)
     flx_s = loop(data_s, steps)
-    flx = multihost_utils.process_allgather(flx_s, tiled=True)
-    return float(rel_l1(np.asarray(flx), np.asarray(ref)))
+    from cdk_tpu.dist.mesh import to_host_global
+
+    return float(rel_l1(to_host_global(flx_s), np.asarray(ref)))
 
 
 def _parity_dss2d(steps: int):
@@ -220,28 +220,31 @@ def launch(kernel: str = "mpdata", nproc: int = 2, steps: int = 3,
         for i in range(nproc)
     ]
     verdicts = []
-    for i, pr in enumerate(procs):
-        try:
+    try:
+        for i, pr in enumerate(procs):
             out, errtxt = pr.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for p2 in procs:
+            lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"worker {i} produced no verdict "
+                    f"(rc={pr.returncode}):\n{errtxt[-2000:]}"
+                )
+            v = json.loads(lines[-1])
+            verdicts.append(v)
+            if not quiet:
+                print(f" [mp worker {i}] kernel={v['kernel']} "
+                      f"procs={v['num_processes']} "
+                      f"devices={v['global_devices']} "
+                      f"(local {v['local_devices']}) steps={v['steps']} "
+                      f"max_rel_err={v['max_rel_err']:.3e} "
+                      f"{'ok' if v['ok'] else '** FAILED **'}")
+    except BaseException:
+        # a dead/hung/timed-out worker must not leave the others blocked
+        # inside jax.distributed.initialize waiting on it
+        for p2 in procs:
+            if p2.poll() is None:
                 p2.kill()
-            raise
-        lines = [ln for ln in out.splitlines() if ln.startswith("{")]
-        if not lines:
-            raise RuntimeError(
-                f"worker {i} produced no verdict (rc={pr.returncode}):\n"
-                f"{errtxt[-2000:]}"
-            )
-        v = json.loads(lines[-1])
-        verdicts.append(v)
-        if not quiet:
-            print(f" [mp worker {i}] kernel={v['kernel']} "
-                  f"procs={v['num_processes']} "
-                  f"devices={v['global_devices']} "
-                  f"(local {v['local_devices']}) steps={v['steps']} "
-                  f"max_rel_err={v['max_rel_err']:.3e} "
-                  f"{'ok' if v['ok'] else '** FAILED **'}")
+        raise
     return verdicts
 
 

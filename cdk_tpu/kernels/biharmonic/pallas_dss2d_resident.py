@@ -506,10 +506,13 @@ def _pick_bi(ex, L, ncol_blk, itemsize, budget=24 * 2**20, cap=8):
 
 
 def _rowchain_calls(cfg, precision, interpret):
-    """Build the three rowchain pallas calls.  The grid's row count is
-    derived from the operand shapes at trace time, so the same calls run
-    single-chip (all ex rows, wrap padding) and inside shard_map (ex/pi
-    local rows, ppermuted halo padding — the *_padded entry points)."""
+    """Build the rowchain pallas calls.  The *_padded entry points derive
+    their grid from the operand shapes at trace time, so they run
+    unchanged inside shard_map on local (ex/pi) rows with ppermuted halo
+    padding.  The blocked single-chip steps ("step_t" when bi > 1,
+    "step2_t") are GLOBAL-ONLY: their mod-ex wrap indices bake in the
+    full torus row count — dist callers must use the padded forms
+    (step_t_padded / step2_padded_factory)."""
     ex, ey = torus_shape(cfg.nelemd)
     g = 8
     while ey % g:
@@ -623,8 +626,7 @@ def _rowchain_calls(cfg, precision, interpret):
     # live set ((bi+4) t rows + 3 t'-rows + (bi+2) operator blocks) is
     # budgeted against the requested VMEM_LIMIT like _pick_bi
     row_b = L * ncol_blk * itemsize
-    bi2_ok = bi > 1 and ex % bi == 0 and ex // bi >= 1 and (
-        (3 * bi + 12) * row_b <= 24 * 2**20)
+    bi2_ok = bi > 1 and (3 * bi + 12) * row_b <= 24 * 2**20
     cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
     def step2_t_blocked(lrow, wrow, t):
@@ -776,7 +778,7 @@ def _rowchain_forms(cfg, precision: str):
     def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
         lrow, w2 = _build(data)
         t = bridge_in(lrow, _q2(data.qtens))
-        nt = n - 1
+        nt = max(n - 1, 0)
         if step2_t is not None and nt >= 2:
             t, _ = jax.lax.scan(
                 lambda tt, _: (step2_t(lrow, w2, tt), None), t, None,

@@ -145,6 +145,10 @@ steppers = {
 
 which = sys.argv[1:] or list(steppers)
 for name in which:
+    if name == "blocked2" and calls["step2_t"] is None:
+        print("blocked2: skipped (bi2 budget not met at this geometry)",
+              flush=True)
+        continue
     loop = make_loop(steppers[name])
     fetch_sync(loop(q2, 4))
     fetch_sync(loop(q2, 36))
