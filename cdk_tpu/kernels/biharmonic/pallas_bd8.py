@@ -54,36 +54,51 @@ from cdk_tpu.kernels.biharmonic.problem import (
 
 
 def _resident_kernel(l_ref, q_ref, out_ref, *, nsteps, precision):
-    # unrolled over the (small, static) group block; each group's chain is
-    # an independent fori_loop of (128,128)@(128,ncol) MXU matmuls on
-    # VMEM-resident data
+    # ONE fori_loop carrying every group's state (a tuple), body unrolled
+    # over the (small, static) group block: the per-group chains are
+    # independent, so merging them into one loop body hands Mosaic
+    # cross-group instruction-level parallelism — group b's VPU hi/lo
+    # splits can overlap group b-1's MXU passes, where the earlier
+    # one-fori_loop-per-group form serialized each group's
+    # split->dot->split dependency chain end to end
     bg = q_ref.shape[0]
-    for b in range(bg):
-        L = l_ref[b]
-        q0 = q_ref[b]
-
-        if precision == "bf16x3":
-            # manual 3-pass f32 emulation (the einsum variants' "high",
-            # which Mosaic's dot doesn't expose): a@b ~= ah@bh + ah@bl +
-            # al@bh with hi/lo bf16 splits; the operator split is hoisted
-            # out of the time loop (L is step-invariant)
-            f32 = q0.dtype
+    if precision == "bf16x3":
+        # manual 3-pass f32 emulation (the einsum variants' "high", which
+        # Mosaic's dot doesn't expose): a@b ~= ah@bh + ah@bl + al@bh with
+        # hi/lo bf16 splits; the operator split is hoisted out of the
+        # time loop (L is step-invariant)
+        f32 = q_ref.dtype
+        ls = []
+        for b in range(bg):
+            L = l_ref[b]
             L_hi = L.astype(jnp.bfloat16)
-            L_lo = (L - L_hi.astype(f32)).astype(jnp.bfloat16)
+            ls.append((L_hi, (L - L_hi.astype(f32)).astype(jnp.bfloat16)))
 
-            def body(_, q, L_hi=L_hi, L_lo=L_lo, f32=f32):
+        def body(_, qs):
+            splits = []
+            for q in qs:
                 q_hi = q.astype(jnp.bfloat16)
-                q_lo = (q - q_hi.astype(f32)).astype(jnp.bfloat16)
-                return (jnp.dot(L_hi, q_hi, preferred_element_type=f32)
-                        + jnp.dot(L_hi, q_lo, preferred_element_type=f32)
-                        + jnp.dot(L_lo, q_hi, preferred_element_type=f32))
-        else:
+                splits.append(
+                    (q_hi, (q - q_hi.astype(f32)).astype(jnp.bfloat16)))
+            return tuple(
+                jnp.dot(L_hi, q_hi, preferred_element_type=f32)
+                + jnp.dot(L_hi, q_lo, preferred_element_type=f32)
+                + jnp.dot(L_lo, q_hi, preferred_element_type=f32)
+                for (L_hi, L_lo), (q_hi, q_lo) in zip(ls, splits)
+            )
+    else:
 
-            def body(_, q, L=L):
-                return jnp.dot(L, q, precision=precision,
-                               preferred_element_type=q.dtype)
+        def body(_, qs):
+            return tuple(
+                jnp.dot(l_ref[b], q, precision=precision,
+                        preferred_element_type=q.dtype)
+                for b, q in enumerate(qs)
+            )
 
-        out_ref[b] = jax.lax.fori_loop(0, nsteps, body, q0)
+    qs = jax.lax.fori_loop(0, nsteps, body,
+                           tuple(q_ref[b] for b in range(bg)))
+    for b in range(bg):
+        out_ref[b] = qs[b]
 
 
 @functools.partial(jax.jit, static_argnames=("nsteps", "precision",
