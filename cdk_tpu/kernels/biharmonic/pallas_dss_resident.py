@@ -132,19 +132,20 @@ def _dss_resident_kernel(l_ref, w_ref, ql_ref, qc_ref, qr_ref, out_ref, *,
 
 def _pick_geometry(eg, gn, ncol, g, itemsize):
     """-> (B center groups per window, hg halo groups per side, ncol
-    block).  Conservative sizing: Pallas double-buffers every input/output
-    block for the pipeline, so the real footprint is ~2x the refs plus
-    the loop carry and a dot temporary — target ~8 MB against the 16 MB
-    scoped-VMEM budget (an OOM here crash-wedges the remote tunnel for
-    ~20 min, see memory notes)."""
+    block).  The kernel requests vmem_limit_bytes=VMEM_LIMIT (the 16 MB
+    scoped-VMEM wall is a compiler default, not hardware — round-3
+    finding), so B is sized by the actual per-c-block live set at the
+    128-lane block floor: ~4 double-buffered center blocks + ~7
+    window-sized values (ops x2, carry, shift temps), each gn x 128.
+    Bigger B cuts the 2*hg/B halo overcompute the compute-bound chain
+    pays directly (production: B=9 -> 27 drops it 1.22x -> 1.07x)."""
     hg = -(-KMAX // g)
-    # center groups per window: biggest divisor of eg whose center block
-    # stays small enough that the halo overhead 2*hg/B is still amortized
+    blk = gn * 128 * itemsize
     B = 1
     for cand in sorted({d for d in range(1, eg + 1) if eg % d == 0},
                        reverse=True):
         B = cand
-        if cand * gn * ncol * itemsize <= 3 * 2**20 + 2**19:
+        if (4 * cand + 7 * (cand + 2 * hg)) * blk <= 24 * 2**20:
             break
     return B, hg, _pick_ncol_blk(B + 2 * hg, gn, ncol, itemsize)
 
@@ -225,6 +226,8 @@ def apply_dss_resident(lbd, w2, qg, nsteps: int, *, g: int, npg: int,
         ],
         out_specs=pl.BlockSpec((B * gn, ncol_blk), lambda i, c: (i, c),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(lw, ww, ql, q2, qr)
     return out.reshape(eg, gn, ncol)[:, :, :ncol0]
