@@ -108,9 +108,13 @@ def apply_bd8_resident(lbd, qg, nsteps: int, precision: str = "high",
     """qg: (eg, g*npts, ncol) grouped tracer blocks; lbd: (eg, gn, gn)
     grouped operator.  Runs nsteps chained applications in-kernel."""
     eg, gn, ncol = qg.shape
-    # ~2 MB of tracer block per grid cell (DMA pipelining hides the loads
-    # behind the previous cell's n-step MXU chain)
-    bg = max(1, (2 * 2**20) // (gn * ncol * qg.dtype.itemsize))
+    # ~3 MB of tracer block per grid cell: enough that even the shipped
+    # size (1.47 MB/group) gets bg >= 2 interleaved chains per cell — the
+    # cross-group ILP that overlaps VPU splits with MXU passes needs at
+    # least two independent chains in the loop body.  The live set
+    # (~7x the block: in/out double-buffered + carry + hi/lo splits)
+    # rides the raised scoped-VMEM limit below.
+    bg = max(1, (3 * 2**20) // (gn * ncol * qg.dtype.itemsize))
     bg = min(bg, eg)
     while eg % bg:
         bg -= 1
@@ -123,6 +127,8 @@ def apply_bd8_resident(lbd, qg, nsteps: int, precision: str = "high",
         grid=(eg // bg,),
         in_specs=[blk(lbd), blk(qg)],
         out_specs=blk(qg),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(lbd, qg)
 
