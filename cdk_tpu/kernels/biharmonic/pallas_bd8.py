@@ -95,8 +95,24 @@ def _resident_kernel(l_ref, q_ref, out_ref, *, nsteps, precision):
                 for b, q in enumerate(qs)
             )
 
-    qs = jax.lax.fori_loop(0, nsteps, body,
-                           tuple(q_ref[b] for b in range(bg)))
+    # manual 4x unroll amortizes the scalar loop bookkeeping across steps
+    # (Mosaic's fori_loop only supports unroll=1 or full unroll) — at the
+    # shipped size the whole problem is one grid cell and the per-step
+    # loop overhead is a measurable slice of the ~3 us step; nsteps is
+    # static, so the remainder unrolls at trace time
+    UNROLL = 4
+    qs = tuple(q_ref[b] for b in range(bg))
+    k, r = divmod(nsteps, UNROLL)
+
+    def body_u(i, qs):
+        for _ in range(UNROLL):
+            qs = body(i, qs)
+        return qs
+
+    if k:
+        qs = jax.lax.fori_loop(0, k, body_u, qs)
+    for _ in range(r):
+        qs = body(0, qs)
     for b in range(bg):
         out_ref[b] = qs[b]
 
