@@ -493,6 +493,68 @@ def _rowchain_step2_blocked_kernel(lu_ref, lc_ref, ld_ref, wu_ref, wc_ref,
 VMEM_LIMIT = 64 * 2**20
 
 
+def _rowchain_step3_blocked_kernel(lu2_ref, lu1_ref, lc_ref, ld1_ref,
+                                   ld2_ref, wu2_ref, wu1_ref, wc_ref,
+                                   wd1_ref, wd2_ref, up3_ref, up2_ref,
+                                   up1_ref, c_ref, dn1_ref, dn2_ref,
+                                   dn3_ref, out_ref, *, precision, gb, gn,
+                                   npg, bi):
+    """THREE chained t-steps per invocation (temporal k=3): read Bi+6 t
+    rows (3 halo rows per side), write Bi.  Steady-state HBM traffic per
+    owned-row-step: ((Bi+6)+Bi) t rows + (Bi+4) operator blocks per 3·Bi
+    row-steps — 1.67 row-units at Bi=5 vs the double-step's 2.1 and the
+    unblocked step's 5.  Intermediate t'/t'' rows are memoized helper
+    values; Mosaic's SSA liveness retires each after its last consumer,
+    so at most ~3 rows of each level are live (the row-local discipline).
+
+    Validity: t'_j (j in [-2, Bi+1]) needs t_{j-1..j+1}; t''_j (j in
+    [-1, Bi]) needs t'; out_r needs t''_{r-1..r+1} — each in-kernel step
+    consumes one halo row per side, exactly the deep-halo argument of the
+    k-step chains."""
+    dt = c_ref.dtype
+    L = gb * gn
+    masks = _masks_j(L, npg, L, dt)
+
+    def t_row(j):
+        if j < 0:
+            return (up1_ref, up2_ref, up3_ref)[-j - 1][...]
+        if j >= bi:
+            return (dn1_ref, dn2_ref, dn3_ref)[j - bi][...]
+        return c_ref[j * L:(j + 1) * L]
+
+    def ops_w(j):
+        if j < 0:
+            return ((lu1_ref, 0, wu1_ref[0]) if j == -1
+                    else (lu2_ref, 0, wu2_ref[0]))
+        if j >= bi:
+            return ((ld1_ref, 0, wd1_ref[0]) if j == bi
+                    else (ld2_ref, 0, wd2_ref[0]))
+        return lc_ref, j, wc_ref[j]
+
+    def fused_step(j, row_of):
+        l_ref, row, w = ops_w(j)
+        apply_all = _make_apply(l_ref, gb, gn, precision, dt, row=row)
+        d = _ipass_w(row_of(j - 1), row_of(j), row_of(j + 1), w, npg, dt)
+        return _jpass(apply_all(apply_all(d)), masks, npg, L)
+
+    tp_memo = {}
+
+    def tprime(j):
+        if j not in tp_memo:
+            tp_memo[j] = fused_step(j, t_row)
+        return tp_memo[j]
+
+    tpp_memo = {}
+
+    def tsecond(j):
+        if j not in tpp_memo:
+            tpp_memo[j] = fused_step(j, tprime)
+        return tpp_memo[j]
+
+    for r in range(bi):
+        out_ref[r * L:(r + 1) * L] = fused_step(r, tsecond)
+
+
 def _pick_bi(ex, L, ncol_blk, itemsize, budget=24 * 2**20, cap=8):
     """Largest divisor of ex (<= cap) whose blocked-step live set —
     (Bi+2) input rows + Bi output rows + Bi operator blocks + ~5 temp rows,
@@ -719,10 +781,50 @@ def _rowchain_calls(cfg, precision, interpret):
 
         return call
 
+    # temporal k=3 triple-step: 3 halo rows per side; live set ~(bi+6) t
+    # refs + (bi+4) operator blocks + out + ~6 intermediate rows
+    bi3_ok = bi > 1 and (3 * bi + 18) * row_b <= 24 * 2**20
+
+    def step3_t_blocked(lrow, wrow, t):
+        lrow1 = lambda o: pl.BlockSpec(
+            (1, gb, gn, gn), lambda i, c, o=o: ((i * bi + o) % ex, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        w1 = lambda o: pl.BlockSpec(
+            (1, L, 1), lambda i, c, o=o: ((i * bi + o) % ex, 0, 0),
+            memory_space=pltpu.VMEM)
+        trow = lambda o: pl.BlockSpec(
+            (L, ncol_blk), lambda i, c, o=o: ((i * bi + o) % ex, c),
+            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_rowchain_step3_blocked_kernel, bi=bi, **kw),
+            out_shape=jax.ShapeDtypeStruct((ex * L, ncol), t.dtype),
+            grid=(ex // bi, ncol // ncol_blk),
+            in_specs=[
+                lrow1(-2), lrow1(-1),
+                pl.BlockSpec((bi, gb, gn, gn), lambda i, c: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                lrow1(bi), lrow1(bi + 1),
+                w1(-2), w1(-1),
+                pl.BlockSpec((bi, L, 1), lambda i, c: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                w1(bi), w1(bi + 1),
+                trow(-3), trow(-2), trow(-1),
+                pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
+                             memory_space=pltpu.VMEM),
+                trow(bi), trow(bi + 1), trow(bi + 2),
+            ],
+            out_specs=pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=cparams,
+            interpret=interpret,
+        )(lrow, lrow, lrow, lrow, lrow, wrow, wrow, wrow, wrow, wrow,
+          t, t, t, t, t, t, t)
+
     calls = {
         "bridge_in": bridge_in,
         "step_t": step_t_blocked if bi > 1 else step_t,
         "step2_t": step2_t_blocked if bi2_ok else None,
+        "step3_t": step3_t_blocked if bi3_ok else None,
         "bridge_out": bridge_out,
         "step_t_padded": step_t_padded,
         "bridge_out_padded": bridge_out_padded,
@@ -746,6 +848,7 @@ def _rowchain_forms(cfg, precision: str):
     bridge_in, step_t, bridge_out = (
         calls["bridge_in"], calls["step_t"], calls["bridge_out"])
     step2_t = calls["step2_t"]
+    step3_t = calls["step3_t"]
     _, _, _, gb, gn, L, ncol, _ = geom
 
     def _build(data):
@@ -779,6 +882,11 @@ def _rowchain_forms(cfg, precision: str):
         lrow, w2 = _build(data)
         t = bridge_in(lrow, _q2(data.qtens))
         nt = max(n - 1, 0)
+        if step3_t is not None and nt >= 3:
+            t, _ = jax.lax.scan(
+                lambda tt, _: (step3_t(lrow, w2, tt), None), t, None,
+                length=nt // 3)
+            nt %= 3
         if step2_t is not None and nt >= 2:
             t, _ = jax.lax.scan(
                 lambda tt, _: (step2_t(lrow, w2, tt), None), t, None,

@@ -135,9 +135,10 @@ print(f"bi={calls['bi']} step2={'yes' if calls['step2_t'] else 'no'}",
 steppers = {
     "full": lambda t: calls["step_t_unblocked"](lrow, w2, t),
     "blocked": lambda t: calls["step_t"](lrow, w2, t),
-    # NOTE: one blocked2 invocation = TWO t-steps; the printed slope is
-    # per-invocation — halve it for the per-step figure
+    # NOTE: one blocked2/blocked3 invocation = TWO/THREE t-steps; the
+    # printed slope is per-invocation — divide for the per-step figure
     "blocked2": lambda t: calls["step2_t"](lrow, w2, t),
+    "blocked3": lambda t: calls["step3_t"](lrow, w2, t),
     "dma_only": lambda t: mod_call(_dma_kernel, t),
     "dots_only": lambda t: mod_call(_dots_kernel, t),
     "shifts": lambda t: mod_call(_shifts_kernel, t),
@@ -145,8 +146,10 @@ steppers = {
 
 which = sys.argv[1:] or list(steppers)
 for name in which:
-    if name == "blocked2" and calls["step2_t"] is None:
-        print("blocked2: skipped (bi2 budget not met at this geometry)",
+    if (name in ("blocked2", "blocked3")
+            and calls[{"blocked2": "step2_t", "blocked3": "step3_t"}[name]]
+            is None):
+        print(f"{name}: skipped (budget not met at this geometry)",
               flush=True)
         continue
     loop = make_loop(steppers[name])

@@ -237,9 +237,9 @@ def test_dss2d_rowchain_matches_chained_reference(nelemd):
     e1 = rel_l2(np.asarray(step2(aux, data)),
                 np.asarray(ref_step((), data)))
     assert e1 < 1e-13, e1
-    # n=2: single t-step; n=4: one DOUBLE step + one single (odd
-    # remainder); n=5: two double steps
-    for n in (2, 4, 5):
+    # n=2: single t-step; n=4: one TRIPLE step; n=5: triple + single;
+    # n=6: triple + double; n=7: two triples
+    for n in (2, 4, 5, 6, 7):
         q = data.qtens
         for _ in range(n):
             q = ref_step((), dataclasses.replace(data, qtens=q))
