@@ -519,6 +519,12 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
             break
     step2_padded = (calls["step2_padded_factory"](bi_d)
                     if bi_d >= 2 and exl_rows >= 2 else None)
+    # triple-step: one 3-row exchange per THREE t-steps; needs 3 local
+    # rows to donate per side and the k=3 live-set budget
+    step3_padded = (calls["step3_padded_factory"](bi_d)
+                    if bi_d >= 2 and exl_rows >= 3
+                    and (3 * bi_d + 18) * row_b <= 24 * 2**20 else None)
+    pad3 = bi_d * (-(-3 // bi_d))  # t/ops pad rows per side for triples
 
     def _pad2_t(t):
         """Pad bi_d element rows per side; the innermost TWO carry the
@@ -547,6 +553,31 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
 
     def _step2_serial(lrow_p, w2_p, t):
         return step2_padded(lrow_p, w2_p, _pad2_t(t))
+
+    def _padN_t3(t):
+        """pad3 rows per side, innermost THREE ppermuted."""
+        up = lax.ppermute(t[-3 * L:], axis, perm_fwd)
+        dn = lax.ppermute(t[:3 * L], axis, perm_bwd)
+        if pad3 > 3:
+            z = jnp.zeros(((pad3 - 3) * L, t.shape[1]), t.dtype)
+            return jnp.concatenate([z, up, t, dn, z], axis=0)
+        return jnp.concatenate([up, t, dn], axis=0)
+
+    def _pad3_ops(lrow, w2):
+        """pad3 rows per side, innermost TWO valid operator/weight rows."""
+
+        def pad(x):
+            u = lax.ppermute(x[-2:], axis, perm_fwd)
+            d = lax.ppermute(x[:2], axis, perm_bwd)
+            if pad3 > 2:
+                z = jnp.zeros((pad3 - 2, *x.shape[1:]), x.dtype)
+                return jnp.concatenate([z, u, x, d, z], axis=0)
+            return jnp.concatenate([u, x, d], axis=0)
+
+        return pad(lrow), pad(w2)
+
+    def _step3_serial(lrow_p3, w2_p3, t):
+        return step3_padded(lrow_p3, w2_p3, _padN_t3(t))
 
     def _step_serial(lrow, w2, t):
         return calls["step_t_padded"](lrow, w2, _pad_exchanged(t))
@@ -591,6 +622,13 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
             exl = lrow.shape[0]
             t = calls["bridge_in"](lrow, q_loc.reshape(exl * L, cfg.ncol))
             nt = max(n - 1, 0)
+            if step3_padded is not None and not overlap and nt >= 3:
+                lrow_p3, w2_p3 = _pad3_ops(lrow, w2)
+                t, _ = lax.scan(
+                    lambda tt, _: (_step3_serial(lrow_p3, w2_p3, tt),
+                                   None),
+                    t, None, length=nt // 3)
+                nt %= 3
             if step2_padded is not None and not overlap and nt >= 2:
                 lrow_p, w2_p = _pad2_ops(lrow, w2)
                 t, _ = lax.scan(

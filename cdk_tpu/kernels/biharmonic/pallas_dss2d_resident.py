@@ -820,6 +820,58 @@ def _rowchain_calls(cfg, precision, interpret):
         )(lrow, lrow, lrow, lrow, lrow, wrow, wrow, wrow, wrow, wrow,
           t, t, t, t, t, t, t)
 
+    def step3_padded_factory(bi_d):
+        """Padded triple-step for the dist loop: t padded with
+        P = bi_d*ceil(3/bi_d) rows per side (innermost THREE valid,
+        ppermuted), lrow/w2 padded likewise with the innermost TWO rows
+        valid (the j in {-2,-1} / {bi, bi+1} t'/t'' rows need the
+        neighbor shard's operators).  P keeps the center blocks aligned
+        to bi_d-row block units; outer pad rows are zeros, never read."""
+        kw_d = dict(kw, bi=bi_d)
+        pn = -(-3 // bi_d)  # pad blocks per side
+        P = pn * bi_d
+
+        def call(lrow_p, wrow_p, tp):
+            exl = lrow_p.shape[0] - 2 * P
+            lrow1 = lambda o: pl.BlockSpec(
+                (1, gb, gn, gn),
+                lambda i, c, o=o: (P + i * bi_d + o, 0, 0, 0),
+                memory_space=pltpu.VMEM)
+            w1 = lambda o: pl.BlockSpec(
+                (1, L, 1), lambda i, c, o=o: (P + i * bi_d + o, 0, 0),
+                memory_space=pltpu.VMEM)
+            trow = lambda o: pl.BlockSpec(
+                (L, ncol_blk), lambda i, c, o=o: (P + i * bi_d + o, c),
+                memory_space=pltpu.VMEM)
+            cblk = lambda shp: pl.BlockSpec(
+                shp, lambda i, c: ((i + pn,) + (0,) * (len(shp) - 1)),
+                memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                functools.partial(_rowchain_step3_blocked_kernel, **kw_d),
+                out_shape=jax.ShapeDtypeStruct((exl * L, ncol), tp.dtype),
+                grid=(exl // bi_d, ncol // ncol_blk),
+                in_specs=[
+                    lrow1(-2), lrow1(-1), cblk((bi_d, gb, gn, gn)),
+                    lrow1(bi_d), lrow1(bi_d + 1),
+                    w1(-2), w1(-1), cblk((bi_d, L, 1)),
+                    w1(bi_d), w1(bi_d + 1),
+                    trow(-3), trow(-2), trow(-1),
+                    pl.BlockSpec((bi_d * L, ncol_blk),
+                                 lambda i, c: (i + pn, c),
+                                 memory_space=pltpu.VMEM),
+                    trow(bi_d), trow(bi_d + 1), trow(bi_d + 2),
+                ],
+                out_specs=pl.BlockSpec((bi_d * L, ncol_blk),
+                                       lambda i, c: (i, c),
+                                       memory_space=pltpu.VMEM),
+                compiler_params=cparams,
+                interpret=interpret,
+            )(lrow_p, lrow_p, lrow_p, lrow_p, lrow_p,
+              wrow_p, wrow_p, wrow_p, wrow_p, wrow_p,
+              tp, tp, tp, tp, tp, tp, tp)
+
+        return call
+
     calls = {
         "bridge_in": bridge_in,
         "step_t": step_t_blocked if bi > 1 else step_t,
@@ -829,6 +881,7 @@ def _rowchain_calls(cfg, precision, interpret):
         "step_t_padded": step_t_padded,
         "bridge_out_padded": bridge_out_padded,
         "step2_padded_factory": step2_padded_factory,
+        "step3_padded_factory": step3_padded_factory,
         "step_t_unblocked": step_t,
         "bi": bi,
         "ncol_blk": ncol_blk,

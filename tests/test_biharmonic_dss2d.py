@@ -290,7 +290,7 @@ def test_dss2d_dist_loop_matches_chained():
     assert rel_l2(out_loop, np.asarray(q_ref)) < 1e-11
 
 
-@pytest.mark.parametrize("ndev,n", [(2, 1), (2, 5), (4, 4)])
+@pytest.mark.parametrize("ndev,n", [(2, 1), (2, 5), (2, 7), (4, 4)])
 def test_dss2d_dist_rowchain_matches_chained_reference(ndev, n):
     """The distributed t-carry rowchain (rows sharded; one t row
     ppermuted per side per step; fused kernels inside shard_map) ==
