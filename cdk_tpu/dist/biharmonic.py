@@ -507,14 +507,18 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
     # steady-state winner (1.27 vs 2.45 ms/step at production), with the
     # bonus that the t exchange happens once per TWO steps.  Falls back
     # to the 1-row step when the local row count has no usable divisor.
+    from cdk_tpu.kernels.biharmonic.pallas_dss2d_resident import (
+        step_budget_ok,
+    )
+
     exl_rows = ex // nparts
     row_b = L * calls["ncol_blk"] * cfg.np_dtype(0).itemsize
     bi_d = 1
     for cand in range(min(8, exl_rows), 1, -1):
         # same live-set budget as the single-chip bi2_ok gate (the step2
         # window + operators, double-buffered, vs the requested 64 MB
-        # scoped-VMEM limit)
-        if exl_rows % cand == 0 and (3 * cand + 12) * row_b <= 24 * 2**20:
+        # scoped-VMEM limit) — shared predicate so the gates cannot drift
+        if exl_rows % cand == 0 and step_budget_ok(2, cand, row_b):
             bi_d = cand
             break
     step2_padded = (calls["step2_padded_factory"](bi_d)
@@ -523,7 +527,7 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
     # rows to donate per side and the k=3 live-set budget
     step3_padded = (calls["step3_padded_factory"](bi_d)
                     if bi_d >= 2 and exl_rows >= 3
-                    and (3 * bi_d + 18) * row_b <= 24 * 2**20 else None)
+                    and step_budget_ok(3, bi_d, row_b) else None)
     pad3 = bi_d * (-(-3 // bi_d))  # t/ops pad rows per side for triples
 
     def _pad2_t(t):

@@ -144,6 +144,9 @@ def worker_main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--devices-per-proc", type=int, default=2)
     args = p.parse_args(argv)
+    if args.steps < 1:
+        p.error("--steps must be >= 1 (a 0-step run produces no output "
+                "to verify)")
 
     # platform pins must land before the first jax device query; the axon
     # TPU plugin overrides JAX_PLATFORMS, so set the config API too
@@ -194,7 +197,29 @@ def launch(kernel: str = "mpdata", nproc: int = 2, steps: int = 3,
            devices_per_proc: int = 2, timeout: float = 600.0,
            quiet: bool = False) -> list[dict]:
     """Spawn `nproc` worker processes, wait, and return their JSON verdict
-    dicts.  Raises on a worker that dies without a verdict."""
+    dicts.  Raises on a worker that dies without a verdict.  _free_port
+    closes the probe socket before the coordinator rebinds it (TOCTOU);
+    a lost race shows up as worker 0 dying on a bind error, so retry the
+    whole launch on a fresh port rather than trying to hold the socket."""
+    last_exc = None
+    for _attempt in range(3):
+        try:
+            return _launch_once(kernel, nproc, steps, devices_per_proc,
+                                timeout, quiet)
+        except RuntimeError as e:
+            msg = str(e).lower()
+            if "address already in use" in msg or "bind" in msg:
+                last_exc = e
+                continue
+            raise
+    raise last_exc
+
+
+def _launch_once(kernel: str, nproc: int, steps: int,
+                 devices_per_proc: int, timeout: float,
+                 quiet: bool) -> list[dict]:
+    import time
+
     coord = f"localhost:{_free_port()}"
     env = dict(os.environ)
     env["JAX_PLATFORM_NAME"] = "cpu"
@@ -220,9 +245,13 @@ def launch(kernel: str = "mpdata", nproc: int = 2, steps: int = 3,
         for i in range(nproc)
     ]
     verdicts = []
+    # one shared deadline across all workers: they run concurrently, so
+    # the total wait is `timeout`, not nproc*timeout worst-case
+    deadline = time.monotonic() + timeout
     try:
         for i, pr in enumerate(procs):
-            out, errtxt = pr.communicate(timeout=timeout)
+            out, errtxt = pr.communicate(
+                timeout=max(1.0, deadline - time.monotonic()))
             lines = [ln for ln in out.splitlines() if ln.startswith("{")]
             if not lines:
                 raise RuntimeError(

@@ -555,6 +555,17 @@ def _rowchain_step3_blocked_kernel(lu2_ref, lu1_ref, lc_ref, ld1_ref,
         out_ref[r * L:(r + 1) * L] = fused_step(r, tsecond)
 
 
+def step_budget_ok(k: int, bi: int, row_b: int) -> bool:
+    """Live-set budget gate for the temporal k-step blocked rowchain:
+    (bi+2k) input t rows + bi output rows + bi operator blocks + ~(6(k-1))
+    intermediate rows, all (L, ncol_blk) of row_b bytes, vs the requested
+    64 MB scoped-VMEM limit (24 MB leaves double-buffer + Mosaic margin).
+    Single source of truth shared by this kernel's bi2_ok/bi3_ok gates and
+    the dist loop's bi_d selection (dist/biharmonic.py) so the two cannot
+    drift apart."""
+    return bi > 1 and (3 * bi + 6 * k) * row_b <= 24 * 2**20
+
+
 def _pick_bi(ex, L, ncol_blk, itemsize, budget=24 * 2**20, cap=8):
     """Largest divisor of ex (<= cap) whose blocked-step live set —
     (Bi+2) input rows + Bi output rows + Bi operator blocks + ~5 temp rows,
@@ -688,7 +699,7 @@ def _rowchain_calls(cfg, precision, interpret):
     # live set ((bi+4) t rows + 3 t'-rows + (bi+2) operator blocks) is
     # budgeted against the requested VMEM_LIMIT like _pick_bi
     row_b = L * ncol_blk * itemsize
-    bi2_ok = bi > 1 and (3 * bi + 12) * row_b <= 24 * 2**20
+    bi2_ok = step_budget_ok(2, bi, row_b)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
     def step2_t_blocked(lrow, wrow, t):
@@ -783,7 +794,7 @@ def _rowchain_calls(cfg, precision, interpret):
 
     # temporal k=3 triple-step: 3 halo rows per side; live set ~(bi+6) t
     # refs + (bi+4) operator blocks + out + ~6 intermediate rows
-    bi3_ok = bi > 1 and (3 * bi + 18) * row_b <= 24 * 2**20
+    bi3_ok = step_budget_ok(3, bi, row_b)
 
     def step3_t_blocked(lrow, wrow, t):
         lrow1 = lambda o: pl.BlockSpec(
