@@ -109,7 +109,8 @@ def run_kernel(
                 note=f"run error: {msg}", fast_math=var.fast_math,
             ))
             continue
-        check = spec.verify(cfg, out, ref_out, loose=var.fast_math)
+        check = spec.verify(cfg, out, ref_out, loose=var.fast_math,
+                            tol=var.verify_tol)
         # per-step time via fetch-synced two-point slope over device-side
         # iteration loops (the reference's nIters loop, with dispatch+fetch
         # round-trip cancelled); variants with a resident-layout loop are

@@ -50,38 +50,45 @@ def _tol(cfg, loose, f64_tol, f32_tol):
     return f64_tol if cfg.dtype == "float64" else f32_tol
 
 
-def _verify_biharmonic(cfg, out, ref, loose=False, f32_tol=2e-5) -> CheckResult:
+def _verify_biharmonic(cfg, out, ref, loose=False, f32_tol=2e-5,
+                       tol=None) -> CheckResult:
     l2 = rel_l2(np.asarray(out), np.asarray(ref))
     # f32 gate set to measured headroom + margin (best exact variants land
     # at 8-10e-8 L2, the bf16x3 'high'-precision einsum at 8.6e-6 — see
     # results/tpu-v5e/summary.txt): 2e-5 catches a precision regression the
-    # old 5e-5 gate would let slide
-    tol = _tol(cfg, loose, 1e-13, f32_tol)
+    # old 5e-5 gate would let slide.  A registered verify_tol (per-variant
+    # precision-policy gate) overrides the family f32 default.
+    if tol is not None and cfg.dtype == "float32" and not loose:
+        f32_tol = tol
+    gate = _tol(cfg, loose, 1e-13, f32_tol)
     return CheckResult(
-        ok=bool(np.isfinite(l2) and l2 < tol),
-        lines=[f" L2 norm: {l2: .6E}  (tol {tol:g})"],
+        ok=bool(np.isfinite(l2) and l2 < gate),
+        lines=[f" L2 norm: {l2: .6E}  (tol {gate:g})"],
         metrics={"rel_l2": l2},
     )
 
 
-def _verify_biharmonic_dss(cfg, out, ref, loose=False) -> CheckResult:
-    # DSS chains TWO bf16x3 'high' applications with the assembly between:
-    # its error is ~2-3x the single-application family's (measured
-    # production nelemd=5400: fused_operator/bd8 land at 2.41e-5 where one
-    # application measures 8.2e-6 — results/tpu-v5e/round2-summary.txt).
-    # Gate at that measured compounding + margin; f32-accumulated variants
-    # still land at ~1.3e-7 so a real precision regression stays caught.
-    return _verify_biharmonic(cfg, out, ref, loose, f32_tol=5e-5)
+def _verify_biharmonic_dss(cfg, out, ref, loose=False, tol=None) -> CheckResult:
+    # Exact-f32 ('highest'-precision) DSS variants land at ~1.3e-7 L2
+    # (fused_operator_rowchain, round3-summary.txt:91): the family default
+    # gates those at 1e-6 (measured headroom + ~8x margin).  The bf16x3
+    # 'high' emulation forms compound to ~2.4e-5 over the double
+    # application (measured production nelemd=5400 — round2-summary.txt)
+    # and register verify_tol=5e-5; before round 4 the 5e-5 gate covered
+    # BOTH policies, ~400x looser than the exact forms' measured error
+    # (VERDICT r3 weak #6).
+    return _verify_biharmonic(cfg, out, ref, loose, f32_tol=1e-6, tol=tol)
 
 
-def _verify_mpdata(cfg, out, ref, loose=False) -> CheckResult:
+def _verify_mpdata(cfg, out, ref, loose=False, tol=None) -> CheckResult:
     f_o, flux_o = out
     f_r, flux_r = ref
     e_f = rel_l1(np.asarray(f_o), np.asarray(f_r))
     e_flux = rel_l1(np.asarray(flux_o), np.asarray(flux_r))
     # f32 gates at measured headroom + margin (pallas_fused lands at
     # f ≈ 0, flux 1.1e-7 — summary.txt): f ≤ 1e-6, flux ≤ 1e-5
-    tol = _tol(cfg, loose, 1e-13, 1e-6)
+    tol = _tol(cfg, loose, 1e-13,
+               tol if tol is not None and not loose else 1e-6)
     return CheckResult(
         ok=bool(np.isfinite(e_f) and np.isfinite(e_flux)
                 and e_f < tol and e_flux < 10 * tol),
@@ -93,7 +100,7 @@ def _verify_mpdata(cfg, out, ref, loose=False) -> CheckResult:
     )
 
 
-def _verify_cke(cfg, out, ref, loose=False) -> CheckResult:
+def _verify_cke(cfg, out, ref, loose=False, tol=None) -> CheckResult:
     if cfg.dtype == "float64" and not loose:
         # the reference's own per-point check at errTol (nested.F90:267-287)
         n_bad, max_err, lines = pointwise_check(
@@ -108,7 +115,8 @@ def _verify_cke(cfg, out, ref, loose=False) -> CheckResult:
     # f32: per-point relative error is dominated by cancellation at
     # near-zero flux points; use the aggregate norm.  Gate at measured
     # headroom + margin (exact variants land at 3-5e-8 L1 — summary.txt)
-    tol = _tol(cfg, loose, cfg.errtol, 1e-6)
+    tol = _tol(cfg, loose, cfg.errtol,
+               tol if tol is not None and not loose else 1e-6)
     e = rel_l1(np.asarray(out), np.asarray(ref))
     return CheckResult(
         ok=bool(np.isfinite(e) and e < tol),

@@ -231,6 +231,7 @@ def _fused_dss_forms(cfg, precision):
     "fused_operator",
     "two probed 16x16-operator MXU applications with the elementwise DSS "
     "assembly between (bf16x3 'high' passes; exact within the f32 gate)",
+    verify_tol=5e-5,  # measured bf16x3 double-application compounding 2.4e-5
 )
 def make_fused_dss(cfg):
     return _fused_dss_forms(cfg, "high")
@@ -262,6 +263,7 @@ def make_fused_dss_bf16(cfg):
     "two grouped block-diagonal (full-MXU-tile) operator applications with "
     "the DSS assembly between — the production apply form (see "
     "operator.blockdiag_group_operator)",
+    verify_tol=5e-5,  # bf16x3 'high' dots (apply_operator_grouped default)
 )
 def make_fused_dss_bd8(cfg):
     from cdk_tpu.kernels.biharmonic.operator import (

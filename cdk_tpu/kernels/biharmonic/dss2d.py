@@ -211,6 +211,7 @@ def _fused_dss2d_forms(cfg, precision):
     "fused_operator",
     "two probed 16x16-operator MXU applications with the torus-DSS "
     "assembly between (bf16x3 'high' passes; exact within the f32 gate)",
+    verify_tol=5e-5,  # measured bf16x3 double-application compounding 2.4e-5
 )
 def make_fused_dss2d(cfg):
     return _fused_dss2d_forms(cfg, "high")
@@ -300,6 +301,7 @@ def dss2d_grouped(s_g: jnp.ndarray, w6: jnp.ndarray, g: int, npg: int,
     "the torus-DSS assembly run IN the grouped layout (dss2d_grouped) — "
     "the production apply form; groups tile element rows, so torus_shape "
     "gives ey the 8-divisible factor",
+    verify_tol=5e-5,  # bf16x3 'high' dots at f32 (see make_fused_dss2d_bd8)
 )
 def make_fused_dss2d_bd8(cfg):
     from cdk_tpu.kernels.biharmonic.operator import (

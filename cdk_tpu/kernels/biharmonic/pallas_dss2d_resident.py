@@ -274,6 +274,7 @@ def make_dss2d_bd8_resident(cfg):
     "resident torus-DSS chain with manual 3-pass bf16 f32-emulation dots "
     "(half the MXU passes of 'highest')",
     supports_f64=False,
+    verify_tol=5e-5,  # bf16x3 compounding over the chained applications
 )
 def make_dss2d_bd8_resident_x3(cfg):
     return _dss2d_resident_forms(cfg, "bf16x3")
@@ -985,6 +986,7 @@ def make_dss2d_rowchain(cfg):
     "t-carry rowchain with manual 3-pass bf16 f32-emulation dots (loop "
     "steps spatially blocked like fused_operator_rowchain)",
     supports_f64=False,
+    verify_tol=5e-5,  # bf16x3 compounding over the chained applications
 )
 def make_dss2d_rowchain_x3(cfg):
     return _rowchain_forms(cfg, "bf16x3")

@@ -302,6 +302,7 @@ def make_dss_bd8_resident(cfg):
     "resident DSS chain with manual 3-pass bf16 f32-emulation dots (the "
     "einsum variants' 'high'; half the MXU passes of 'highest')",
     supports_f64=False,
+    verify_tol=5e-5,  # bf16x3 compounding over the chained applications
 )
 def make_dss_bd8_resident_x3(cfg):
     return _dss_resident_forms(cfg, "bf16x3")
