@@ -109,7 +109,8 @@ def main(argv=None) -> int:
         "N-process dist result against its local single-process reference",
     )
     mpp.add_argument("kernel", nargs="?", default="all",
-                     choices=["mpdata", "cke", "biharmonic_dss2d", "all"])
+                     choices=["mpdata", "cke", "biharmonic",
+                              "biharmonic_dss", "biharmonic_dss2d", "all"])
     mpp.add_argument("--nproc", type=int, default=2)
     mpp.add_argument("--steps", type=int, default=3)
     mpp.add_argument("--devices-per-proc", type=int, default=2)

@@ -875,10 +875,15 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
         return run(q_s, aux)
 
     def gather(q_g):
+        from cdk_tpu.dist.mesh import to_host_global
         from cdk_tpu.kernels.biharmonic.problem import from_lane_layout
         import numpy as np
 
-        q_lane = jnp.asarray(q_g).reshape(cfg.nelemd, npts, ncol)
+        # to_host_global first: under real multi-controller runs the
+        # shards live on other processes' devices and a direct reshape/
+        # fetch of the global array raises (dist.multiproc parity)
+        q_lane = jnp.asarray(to_host_global(q_g)).reshape(
+            cfg.nelemd, npts, ncol)
         return np.asarray(jax.device_get(from_lane_layout(q_lane, cfg)))
 
     return shard_inputs, loop, gather

@@ -20,7 +20,8 @@ def _launch(kernel, **kw):
     return launch(kernel, quiet=True, **kw)
 
 
-@pytest.mark.parametrize("kernel", ["mpdata", "cke", "biharmonic_dss2d"])
+@pytest.mark.parametrize("kernel", ["mpdata", "cke", "biharmonic",
+                                    "biharmonic_dss", "biharmonic_dss2d"])
 def test_two_process_parity(kernel):
     verdicts = _launch(kernel, nproc=2, steps=3, devices_per_proc=2)
     assert len(verdicts) == 2
@@ -34,6 +35,18 @@ def test_three_process_uneven_devices_mpdata():
     """3 processes x 1 device: every ppermute edge crosses a process
     boundary (no intra-process neighbor to hide behind)."""
     verdicts = _launch("mpdata", nproc=3, steps=2, devices_per_proc=1)
+    for v in verdicts:
+        assert v["global_devices"] == 3
+        assert v["ok"], v
+
+
+def test_three_process_ring_dss():
+    """3 processes x 1 device on the ring-DSS kstep loop: every halo-group
+    ppermute of GLL edge columns crosses a real process boundary — the
+    communication pattern closest to HOMME's DSS in the true multi-host
+    runtime (VERDICT r3 missing #2)."""
+    verdicts = _launch("biharmonic_dss", nproc=3, steps=8,
+                       devices_per_proc=1)
     for v in verdicts:
         assert v["global_devices"] == 3
         assert v["ok"], v
