@@ -24,6 +24,17 @@ fast-math bf16 forms — a speed point, not a parity claim — plus one line
 per beyond-reference family (the DSS-coupled biharmonics), which have no
 baseline row and stay out of the geomean but still gate the exit status.
 
+The JSON line also carries:
+  "band"       — geomean lo/hi from each leg's per-trial slope dispersion
+                 (the same code read 71.8-74.3x across round-3 windows;
+                 a delta inside the band is noise, not a regression)
+  "legs"       — per-leg us/step min/median/max
+  "production" — the five families' production-scale champions
+                 (BASELINE.json config "all three kernels at production
+                 E3SM scale"), slope-timed and VERIFIED; a failure here
+                 sets RC!=0 like the shipped legs (pre-round-4 these
+                 lived only in hand-run logs and could regress silently)
+
 Exit status: non-zero if any exact (non-fast-math) variant fails
 verification or crashes — a regression turns the bench red instead of
 silently shrinking it.
@@ -63,12 +74,52 @@ BASELINES_PTS_S = {
 }
 BASELINE_KIND = {"biharmonic": "K20X", "mpdata": "K20X", "cke": "C++"}
 
+# production-scale champions (round-3 measured winners, results/tpu-v5e/
+# run-production-round3-20260819.txt); champions-only keeps the sweep
+# bounded — the full-variant production sweep stays a hand-run artifact
+PRODUCTION_CHAMPIONS = {
+    "biharmonic": "fused_operator_bd8_resident_x3",
+    "biharmonic_dss": "fused_operator_bd8_resident_x3",
+    "biharmonic_dss2d": "fused_operator_rowchain_x3",
+    "mpdata": "pallas_xmajor",
+    "cke": "gather_peradv",
+}
+
 
 def _geomean(xs):
     g = 1.0
     for x in xs:
         g *= x
     return g ** (1.0 / len(xs)) if xs else 0.0
+
+
+def _best(pool):
+    """Deterministic champion pick: 2% throughput buckets, then name —
+    variants measured identical within timing noise (gather_peradv vs
+    gather_selfold are a dead heat) keep a stable BENCH_r* row across
+    rounds instead of flip-flopping on the noise."""
+    import math
+
+    def key(r):
+        gps = r.grid_points_per_s
+        bucket = (int(math.log(gps) / math.log(1.02))
+                  if gps > 0 else -(10 ** 9))
+        return (bucket, r.variant)
+
+    return max(pool, key=key)
+
+
+def _leg_band_us(best):
+    """{min,median,max} us/step from the driver's slope dispersion
+    metrics (empty when the timer had no resolvable samples)."""
+    m = best.metrics
+    if "slope_min" not in m:
+        return {}
+    return {
+        "min_us": round(m["slope_min"] * 1e6, 3),
+        "median_us": round(m["slope_median"] * 1e6, 3),
+        "max_us": round(m["slope_max"] * 1e6, 3),
+    }
 
 
 def main() -> int:
@@ -83,8 +134,10 @@ def main() -> int:
     err = lambda *a: print(*a, file=sys.stderr, flush=True)
 
     exact_ratios, fm_ratios = [], []
+    exact_lo, exact_hi = [], []  # per-leg ratio band endpoints
     exact_failures = []
     extra_lines = []
+    legs = {}
     for kernel, spec in all_specs().items():
         if kernel not in BASELINES_PTS_S:
             # kernels beyond the reference's extracted set (the DSS-coupled
@@ -104,7 +157,13 @@ def main() -> int:
                     if not r.ok and not r.fast_math
                 ]
                 if ok:
-                    best = max(ok, key=lambda r: r.grid_points_per_s)
+                    best = _best(ok)
+                    legs[kernel] = {
+                        "variant": best.variant,
+                        "us_per_step": round(
+                            best.seconds_per_call * 1e6, 3),
+                        **_leg_band_us(best),
+                    }
                     extra_lines.append(
                         f"[bench] {kernel:<16s} exact best="
                         f"{best.variant:<22s} "
@@ -150,9 +209,28 @@ def main() -> int:
             if not pool:
                 err(f"[bench] {kernel}: NO PASSING {tag.strip()} VARIANT")
                 continue
-            best = max(pool, key=lambda r: r.grid_points_per_s)
+            best = _best(pool)
             ratio = best.grid_points_per_s / base
             ratios.append(ratio)
+            if tag == "exact":
+                legs[kernel] = {
+                    "variant": best.variant,
+                    "us_per_step": round(best.seconds_per_call * 1e6, 3),
+                    **_leg_band_us(best),
+                }
+                # ratio band endpoints from the slope dispersion: the
+                # headline ratio uses the best (min) slope; the slow end
+                # of the band uses the worst observed trial slope
+                m = best.metrics
+                if "slope_max" in m and m["slope_max"] > 0:
+                    exact_lo.append(
+                        ratio * best.seconds_per_call / m["slope_max"])
+                    exact_hi.append(
+                        ratio * best.seconds_per_call
+                        / max(m["slope_min"], 1e-12))
+                else:
+                    exact_lo.append(ratio)
+                    exact_hi.append(ratio)
             err(
                 f"[bench] {kernel:<11s} {tag} best={best.variant:<20s} "
                 f"{best.seconds_per_call * 1e6:9.2f} us/step "
@@ -162,17 +240,52 @@ def main() -> int:
 
     for line in extra_lines:
         err(line)
+
+    # ---- production-scale sweep: champions only, verified + gated ----
+    from cdk_tpu.core.config import production_config
+
+    production = {}
+    for kernel, champ in PRODUCTION_CHAMPIONS.items():
+        try:
+            with _deadline(900):
+                results = driver.run_kernel(
+                    kernel, production_config(kernel), variants=[champ],
+                    iters=50, trials=3, quiet=True, min_delta=20e-3)
+        except Exception as e:
+            err(f"[bench] production {kernel}: ERROR "
+                f"{type(e).__name__}: {e}")
+            exact_failures.append(f"production:{kernel}:<all>")
+            continue
+        r = next((r for r in results if r.variant == champ), None)
+        if r is None or not r.ok:
+            err(f"[bench] production {kernel}: {champ} "
+                f"{'missing' if r is None else 'VERIFY FAILED'}")
+            exact_failures.append(f"production:{kernel}:{champ}")
+            continue
+        production[kernel] = {
+            "variant": champ,
+            "us_per_step": round(r.seconds_per_call * 1e6, 2),
+            **_leg_band_us(r),
+        }
+        err(f"[bench] production {kernel:<16s} {champ:<28s} "
+            f"{r.seconds_per_call * 1e6:9.2f} us/step")
+
     if exact_failures:
         err(f"[bench] FAILED exact variants: {', '.join(exact_failures)}")
 
     gm = _geomean(exact_ratios)
+    gm_lo, gm_hi = _geomean(exact_lo), _geomean(exact_hi)
     err(f"[bench] verified-parity geomean {gm:.1f}x "
+        f"[band {gm_lo:.1f}-{gm_hi:.1f}x] "
         f"(fast-math speed point: {_geomean(fm_ratios):.1f}x)")
     print(json.dumps({
         "metric": "verified_kernel_geomean_speedup",
         "value": round(gm, 3),
         "unit": "x",
         "vs_baseline": round(gm, 3),
+        "band": {"lo": round(gm_lo, 3), "hi": round(gm_hi, 3)},
+        "legs": legs,
+        "production": production,
     }))
     if not exact_ratios or exact_failures:
         return 1

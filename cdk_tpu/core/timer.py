@@ -118,32 +118,66 @@ def slope_time(make_runner, data, n1: int = 50, n2: int = 400,
     swamp microsecond kernels.  If the slope is below the timing noise
     floor (`min_delta` seconds), the iteration counts are grown until it is
     resolvable — sub-µs kernels need thousands of chained steps."""
+    best, _ = slope_time_detail(make_runner, data, n1=n1, n2=n2,
+                                trials=trials, min_delta=min_delta,
+                                max_n=max_n)
+    return best
 
-    def best_of(n):
+
+def slope_time_detail(make_runner, data, n1: int = 50, n2: int = 400,
+                      trials: int = 5, min_delta: float = 5e-3,
+                      max_n: int = 51200) -> tuple[float, dict]:
+    """slope_time plus a dispersion band.  Returns (best_seconds_per_step,
+    band) where band carries per-trial-pair slope samples from every
+    accepted scale: {"min", "median", "max", "n_samples"} in seconds/step.
+    The same code reads 71.8-74.3x across round-3 windows (BENCH_r03 vs
+    round3-summary.txt:23,155); publishing the band makes a future swing
+    smaller than it distinguishable from a real regression (VERDICT r3
+    weak #4).  `best` keeps slope_time's definition exactly (min over
+    scales of best-trial deltas) for round-over-round continuity."""
+
+    def times_of(n):
         r = make_runner(n)
         fetch_sync(r(data))  # compile + warm
-        best = float("inf")
+        ts = []
         for _ in range(trials):
             t0 = time.perf_counter()
             fetch_sync(r(data))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            ts.append(time.perf_counter() - t0)
+        return ts
+
+    def _band(samples):
+        if not samples:
+            return {}
+        s = sorted(samples)
+        return {
+            "min": s[0],
+            "median": s[len(s) // 2],
+            "max": s[-1],
+            "n_samples": len(s),
+        }
 
     slopes = []
+    samples = []  # per-trial-pair slopes across accepted scales
     while True:
-        delta = best_of(n2) - best_of(n1)
+        t2s, t1s = times_of(n2), times_of(n1)
+        delta = min(t2s) - min(t1s)
         if delta >= min_delta:
             slopes.append(delta / (n2 - n1))
+            samples += [(b - a) / (n2 - n1) for a, b in zip(t1s, t2s)]
             if len(slopes) >= 2 or n2 * 2 > max_n:
                 # min over scales: per-step time cannot be lower than the
                 # true cost, and each scale's measurement only errs upward
                 # (noise adds to the longer run more often than it
                 # subtracts)
-                return min(slopes)
+                return min(slopes), _band(samples)
             n1 *= 2
             n2 *= 2
         elif n2 >= max_n:
-            return max(delta, 1e-12) / (n2 - n1) if not slopes                 else min(slopes)
+            if slopes:
+                return min(slopes), _band(samples)
+            samples = [(b - a) / (n2 - n1) for a, b in zip(t1s, t2s)]
+            return max(delta, 1e-12) / (n2 - n1), _band(samples)
         else:
             n1 *= 4
             n2 *= 4

@@ -30,7 +30,7 @@ import jax
 
 from cdk_tpu.core import registry
 from cdk_tpu.core.platform import backend
-from cdk_tpu.core.timer import Timer, fetch_sync, slope_time
+from cdk_tpu.core.timer import Timer, fetch_sync, slope_time_detail
 from cdk_tpu.harness.specs import get_spec
 
 REFERENCE_VARIANT = "reference_jnp"
@@ -120,8 +120,9 @@ def run_kernel(
         else:
             make_runner = lambda n: spec.scan_runner(step2, aux, n)
         try:
-            sec = slope_time(make_runner, data, n1=iters, n2=8 * iters,
-                             trials=trials, min_delta=min_delta)
+            sec, band = slope_time_detail(make_runner, data, n1=iters,
+                                          n2=8 * iters, trials=trials,
+                                          min_delta=min_delta)
         except Exception as e:
             # timing failure must not drop the verification verdict: keep
             # the result (ok from the check) with no throughput claim
@@ -133,8 +134,12 @@ def run_kernel(
                 note=f"timing error: {msg}", fast_math=var.fast_math,
             ))
             continue
+        metrics = dict(check.metrics)
+        # timing dispersion (seconds/step) alongside the headline min —
+        # lets the bench publish a band instead of a bare point
+        metrics.update({f"slope_{k}": v for k, v in band.items()})
         res = VariantResult(
-            kernel, name, check.ok, sec, gp / sec, check.metrics,
+            kernel, name, check.ok, sec, gp / sec, metrics,
             fast_math=var.fast_math,
         )
         results.append(res)
