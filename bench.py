@@ -25,9 +25,11 @@ per beyond-reference family (the DSS-coupled biharmonics), which have no
 baseline row and stay out of the geomean but still gate the exit status.
 
 The JSON line also carries:
-  "band"       — geomean lo/hi from each leg's per-trial slope dispersion
+  "band"       — geomean lo/hi: hi = the headline (best-window slopes),
+                 lo = the same geomean at each leg's MEDIAN trial slope
                  (the same code read 71.8-74.3x across round-3 windows;
-                 a delta inside the band is noise, not a regression)
+                 a round-over-round delta inside the band is noise, not
+                 a regression or a win)
   "legs"       — per-leg us/step min/median/max
   "production" — the five families' production-scale champions
                  (BASELINE.json config "all three kernels at production
@@ -218,16 +220,19 @@ def main() -> int:
                     "us_per_step": round(best.seconds_per_call * 1e6, 3),
                     **_leg_band_us(best),
                 }
-                # ratio band endpoints from the slope dispersion: the
-                # headline ratio uses the best (min) slope; the slow end
-                # of the band uses the worst observed trial slope
+                # ratio band endpoints from the slope dispersion: hi =
+                # the headline's best-window slope, lo = the MEDIAN
+                # trial slope (typical window).  Per-pair extremes are
+                # excluded from the geomean band — single tunnel stalls
+                # (a 34 us pair on a 3.6 us kernel) and sub-floor pair
+                # minima are measurement artifacts, while the median/best
+                # spread reproduces the observed 71.8-74.3x round-3
+                # window spread.  Raw min/max stay in the per-leg rows.
                 m = best.metrics
-                if "slope_max" in m and m["slope_max"] > 0:
+                if "slope_median" in m and m["slope_median"] > 0:
                     exact_lo.append(
-                        ratio * best.seconds_per_call / m["slope_max"])
-                    exact_hi.append(
-                        ratio * best.seconds_per_call
-                        / max(m["slope_min"], 1e-12))
+                        ratio * best.seconds_per_call / m["slope_median"])
+                    exact_hi.append(ratio)
                 else:
                     exact_lo.append(ratio)
                     exact_hi.append(ratio)

@@ -348,6 +348,35 @@ def _make_apply(l_ref, gb, gn, precision, dt, row=0):
     return apply_all
 
 
+def _make_fused_apply(l_ref, gb, gn, precision, dt, row=0,
+                      precomposed=False):
+    """The t-carry step's two operator applications are ADJACENT in its
+    dataflow (t' = jpass(A(A(ipass(t)·w)))): with `precomposed` the caller
+    passes the per-row-per-group matrix square A² (same shape, computed
+    once at prepare) and the step runs ONE bd8 application instead of two
+    — halving the per-step MXU passes.  Roofline motivation (production
+    75x72, ncol 720→768 padded, x3 dots): 2 applications = 2·3 passes of
+    75·9 (128,128)@(128,128·6) dots = 95.6 GFLOP/step ≈ 485 µs at the
+    197 TFLOPS bf16 peak, vs the blocked k=3 DMA bound ~0.43 GB/step ≈
+    750 µs at the measured 570 GB/s — the measured 1196 µs/step steady
+    state ≈ DMA + MXU with no overlap, so MXU passes are the closable
+    half (VERDICT r3 weak #2)."""
+    a = _make_apply(l_ref, gb, gn, precision, dt, row=row)
+    if precomposed:
+        return a
+    return lambda q: a(a(q))
+
+
+def precompose_operator(lrow: jnp.ndarray, precision="highest"):
+    """Per-(element-row, group) matrix square A² of the block-diagonal
+    operator (ex, gb, gn, gn).  A is block-diagonal per element inside
+    each (gn, gn) group block, so A² keeps the same shape and sparsity;
+    formed once at prepare (the untimed-staging discipline,
+    nested.F90:400-403) in 'highest' precision."""
+    return jnp.einsum("xbij,xbjk->xbik", lrow, lrow, precision=precision,
+                      preferred_element_type=lrow.dtype)
+
+
 def _jpass(y, masks, npg, L):
     m_j0_in, m_j0_wr, m_j3_in, m_j3_wr = masks
     sj = npg * npg - npg + 1
@@ -385,13 +414,13 @@ def _rowchain_bridge_in_kernel(l_ref, q_ref, t_ref, *, precision, gb, gn,
 
 
 def _rowchain_step_kernel(l_ref, w_ref, tu_ref, tc_ref, td_ref, out_ref, *,
-                          precision, gb, gn, npg):
+                          precision, gb, gn, npg, precomposed=False):
     dt = tc_ref.dtype
     L = gb * gn
-    apply_all = _make_apply(l_ref, gb, gn, precision, dt)
+    fused = _make_fused_apply(l_ref, gb, gn, precision, dt,
+                              precomposed=precomposed)
     d = _ipass_w(tu_ref[...], tc_ref[...], td_ref[...], w_ref[0], npg, dt)
-    y = apply_all(apply_all(d))
-    out_ref[...] = _jpass(y, _masks_j(L, npg, L, dt), npg, L)
+    out_ref[...] = _jpass(fused(d), _masks_j(L, npg, L, dt), npg, L)
 
 
 def _rowchain_bridge_out_kernel(l_ref, w_ref, tu_ref, tc_ref, td_ref,
@@ -404,7 +433,8 @@ def _rowchain_bridge_out_kernel(l_ref, w_ref, tu_ref, tc_ref, td_ref,
 
 
 def _rowchain_step_blocked_kernel(l_ref, w_ref, up_ref, c_ref, dn_ref,
-                                  out_ref, *, precision, gb, gn, npg, bi):
+                                  out_ref, *, precision, gb, gn, npg, bi,
+                                  precomposed=False):
     """Spatially-blocked step: Bi owned element rows per grid cell, read
     (Bi+2) rows (the Bi center rows + ONE halo row per side) and write Bi —
     per-owned-row HBM traffic drops from 3R+1W to ((Bi+2)R + Bi·W)/Bi.
@@ -422,16 +452,16 @@ def _rowchain_step_blocked_kernel(l_ref, w_ref, up_ref, c_ref, dn_ref,
         tu = up_ref[...] if r == 0 else c_ref[(r - 1) * L:r * L]
         tc = c_ref[r * L:(r + 1) * L]
         td = dn_ref[...] if r == bi - 1 else c_ref[(r + 1) * L:(r + 2) * L]
-        apply_all = _make_apply(l_ref, gb, gn, precision, dt, row=r)
+        fused = _make_fused_apply(l_ref, gb, gn, precision, dt, row=r,
+                                  precomposed=precomposed)
         d = _ipass_w(tu, tc, td, w_ref[r], npg, dt)
-        out_ref[r * L:(r + 1) * L] = _jpass(apply_all(apply_all(d)), masks,
-                                            npg, L)
+        out_ref[r * L:(r + 1) * L] = _jpass(fused(d), masks, npg, L)
 
 
 def _rowchain_step2_blocked_kernel(lu_ref, lc_ref, ld_ref, wu_ref, wc_ref,
                                    wd_ref, up2_ref, up1_ref, c_ref, dn1_ref,
                                    dn2_ref, out_ref, *, precision,
-                                   gb, gn, npg, bi):
+                                   gb, gn, npg, bi, precomposed=False):
     """TWO chained t-steps per invocation over Bi owned rows (the temporal
     k=2 deepening of _rowchain_step_blocked_kernel): read Bi+4 t rows
     (2 halo rows per side — each in-kernel step consumes one), write Bi.
@@ -470,17 +500,18 @@ def _rowchain_step2_blocked_kernel(lu_ref, lc_ref, ld_ref, wu_ref, wc_ref,
 
     def tprime(j):
         l_ref, row, w = ops_w(j)
-        apply_all = _make_apply(l_ref, gb, gn, precision, dt, row=row)
+        fused = _make_fused_apply(l_ref, gb, gn, precision, dt, row=row,
+                                  precomposed=precomposed)
         d = _ipass_w(t_row(j - 1), t_row(j), t_row(j + 1), w, npg, dt)
-        return _jpass(apply_all(apply_all(d)), masks, npg, L)
+        return _jpass(fused(d), masks, npg, L)
 
     tp_prev, tp_cur = tprime(-1), tprime(0)
     for r in range(bi):
         tp_next = tprime(r + 1)
-        apply_all = _make_apply(lc_ref, gb, gn, precision, dt, row=r)
+        fused = _make_fused_apply(lc_ref, gb, gn, precision, dt, row=r,
+                                  precomposed=precomposed)
         d = _ipass_w(tp_prev, tp_cur, tp_next, wc_ref[r], npg, dt)
-        out_ref[r * L:(r + 1) * L] = _jpass(apply_all(apply_all(d)), masks,
-                                            npg, L)
+        out_ref[r * L:(r + 1) * L] = _jpass(fused(d), masks, npg, L)
         tp_prev, tp_cur = tp_cur, tp_next
 
 
@@ -499,7 +530,7 @@ def _rowchain_step3_blocked_kernel(lu2_ref, lu1_ref, lc_ref, ld1_ref,
                                    wd1_ref, wd2_ref, up3_ref, up2_ref,
                                    up1_ref, c_ref, dn1_ref, dn2_ref,
                                    dn3_ref, out_ref, *, precision, gb, gn,
-                                   npg, bi):
+                                   npg, bi, precomposed=False):
     """THREE chained t-steps per invocation (temporal k=3): read Bi+6 t
     rows (3 halo rows per side), write Bi.  Steady-state HBM traffic per
     owned-row-step: ((Bi+6)+Bi) t rows + (Bi+4) operator blocks per 3·Bi
@@ -534,9 +565,10 @@ def _rowchain_step3_blocked_kernel(lu2_ref, lu1_ref, lc_ref, ld1_ref,
 
     def fused_step(j, row_of):
         l_ref, row, w = ops_w(j)
-        apply_all = _make_apply(l_ref, gb, gn, precision, dt, row=row)
+        fused = _make_fused_apply(l_ref, gb, gn, precision, dt, row=row,
+                                  precomposed=precomposed)
         d = _ipass_w(row_of(j - 1), row_of(j), row_of(j + 1), w, npg, dt)
-        return _jpass(apply_all(apply_all(d)), masks, npg, L)
+        return _jpass(fused(d), masks, npg, L)
 
     tp_memo = {}
 
@@ -579,14 +611,18 @@ def _pick_bi(ex, L, ncol_blk, itemsize, budget=24 * 2**20, cap=8):
     return 1
 
 
-def _rowchain_calls(cfg, precision, interpret):
+def _rowchain_calls(cfg, precision, interpret, precomposed=False):
     """Build the rowchain pallas calls.  The *_padded entry points derive
     their grid from the operand shapes at trace time, so they run
     unchanged inside shard_map on local (ex/pi) rows with ppermuted halo
     padding.  The blocked single-chip steps ("step_t" when bi > 1,
     "step2_t") are GLOBAL-ONLY: their mod-ex wrap indices bake in the
     full torus row count — dist callers must use the padded forms
-    (step_t_padded / step2_padded_factory)."""
+    (step_t_padded / step2_padded_factory).
+
+    With `precomposed`, the STEP calls expect the squared operator
+    (precompose_operator(lrow)) as their lrow operand and run one bd8
+    application per t-step; the bridge calls keep the plain operator."""
     ex, ey = torus_shape(cfg.nelemd)
     g = 8
     while ey % g:
@@ -598,6 +634,9 @@ def _rowchain_calls(cfg, precision, interpret):
     itemsize = cfg.np_dtype(0).itemsize
     ncol_blk = _pick_ncol_blk(3 * gb, gn, ncol, itemsize)
     kw = dict(precision=precision, gb=gb, gn=gn, npg=npg)
+    # bridge kernels always run the plain single application; only the
+    # t-step kernels take the precomposed flag
+    kw_step = dict(kw, precomposed=precomposed)
 
     lspec = pl.BlockSpec((1, gb, gn, gn), lambda i, c: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -623,10 +662,10 @@ def _rowchain_calls(cfg, precision, interpret):
             interpret=interpret,
         )(lrow, pad_cols(q2))
 
-    def _padded_call(kernel, lrow, wrow, tp):
+    def _padded_call(kernel, lrow, wrow, tp, kkw=kw):
         exl = lrow.shape[0]
         return pl.pallas_call(
-            functools.partial(kernel, **kw),
+            functools.partial(kernel, **kkw),
             out_shape=jax.ShapeDtypeStruct((exl * L, ncol), tp.dtype),
             grid=(exl, ncol // ncol_blk),
             in_specs=[lspec, wspec, row(0), row(1), row(2)],
@@ -635,12 +674,13 @@ def _rowchain_calls(cfg, precision, interpret):
         )(lrow, wrow, tp, tp, tp)
 
     def step_t_padded(lrow, wrow, tp):
-        return _padded_call(_rowchain_step_kernel, lrow, wrow, tp)
+        return _padded_call(_rowchain_step_kernel, lrow, wrow, tp,
+                            kkw=kw_step)
 
     def bridge_out_padded(lrow, wrow, tp):
         return _padded_call(_rowchain_bridge_out_kernel, lrow, wrow, tp)
 
-    def _mod_call(kernel, lrow, wrow, t):
+    def _mod_call(kernel, lrow, wrow, t, kkw=kw):
         # Single-chip form: the torus wrap lives in mod-ex block index
         # maps (the 1-D chain's trick), so the step never materializes
         # the wrap-padded copy of t — wrap_rows costs a full-field
@@ -652,7 +692,7 @@ def _rowchain_calls(cfg, precision, interpret):
             (L, ncol_blk), lambda i, c, o=off: ((i + o) % exl, c),
             memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            functools.partial(kernel, **kw),
+            functools.partial(kernel, **kkw),
             out_shape=jax.ShapeDtypeStruct((exl * L, ncol), t.dtype),
             grid=(exl, ncol // ncol_blk),
             in_specs=[lspec, wspec, rowm(-1), rowm(0), rowm(1)],
@@ -661,7 +701,7 @@ def _rowchain_calls(cfg, precision, interpret):
         )(lrow, wrow, t, t, t)
 
     def step_t(lrow, wrow, t):
-        return _mod_call(_rowchain_step_kernel, lrow, wrow, t)
+        return _mod_call(_rowchain_step_kernel, lrow, wrow, t, kkw=kw_step)
 
     def bridge_out(lrow, wrow, t):
         return _mod_call(_rowchain_bridge_out_kernel, lrow, wrow, t)
@@ -672,7 +712,8 @@ def _rowchain_calls(cfg, precision, interpret):
         # Bi owned rows per grid cell; one halo row per side via separate
         # 1-row refs (mod-ex wrap in the index maps, like _mod_call)
         return pl.pallas_call(
-            functools.partial(_rowchain_step_blocked_kernel, bi=bi, **kw),
+            functools.partial(_rowchain_step_blocked_kernel, bi=bi,
+                              **kw_step),
             out_shape=jax.ShapeDtypeStruct((ex * L, ncol), t.dtype),
             grid=(ex // bi, ncol // ncol_blk),
             in_specs=[
@@ -714,7 +755,8 @@ def _rowchain_calls(cfg, precision, interpret):
             (L, ncol_blk), lambda i, c, o=o: ((i * bi + o) % ex, c),
             memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            functools.partial(_rowchain_step2_blocked_kernel, bi=bi, **kw),
+            functools.partial(_rowchain_step2_blocked_kernel, bi=bi,
+                              **kw_step),
             out_shape=jax.ShapeDtypeStruct((ex * L, ncol), t.dtype),
             grid=(ex // bi, ncol // ncol_blk),
             in_specs=[
@@ -747,7 +789,7 @@ def _rowchain_calls(cfg, precision, interpret):
         blocks aligned to bi_d-row block units; the outer pad rows are
         zeros and never read.  Index maps are offset, not mod — the torus
         wrap rides the ppermute like the other *_padded entry points."""
-        kw_d = dict(kw, bi=bi_d)
+        kw_d = dict(kw_step, bi=bi_d)
 
         def call(lrow_p, wrow_p, tp):
             exl = lrow_p.shape[0] - 2 * bi_d
@@ -808,7 +850,8 @@ def _rowchain_calls(cfg, precision, interpret):
             (L, ncol_blk), lambda i, c, o=o: ((i * bi + o) % ex, c),
             memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            functools.partial(_rowchain_step3_blocked_kernel, bi=bi, **kw),
+            functools.partial(_rowchain_step3_blocked_kernel, bi=bi,
+                              **kw_step),
             out_shape=jax.ShapeDtypeStruct((ex * L, ncol), t.dtype),
             grid=(ex // bi, ncol // ncol_blk),
             in_specs=[
@@ -839,7 +882,7 @@ def _rowchain_calls(cfg, precision, interpret):
         valid (the j in {-2,-1} / {bi, bi+1} t'/t'' rows need the
         neighbor shard's operators).  P keeps the center blocks aligned
         to bi_d-row block units; outer pad rows are zeros, never read."""
-        kw_d = dict(kw, bi=bi_d)
+        kw_d = dict(kw_step, bi=bi_d)
         pn = -(-3 // bi_d)  # pad blocks per side
         P = pn * bi_d
 
@@ -901,7 +944,7 @@ def _rowchain_calls(cfg, precision, interpret):
     return calls, (ex, ey, g, gb, gn, L, ncol, ncol0)
 
 
-def _rowchain_forms(cfg, precision: str):
+def _rowchain_forms(cfg, precision: str, precomposed: bool = False):
     rr = cfg.np_dtype(cfg.rrearth)
     ex, ey = torus_shape(cfg.nelemd)
     g = 8
@@ -909,7 +952,7 @@ def _rowchain_forms(cfg, precision: str):
         g -= 1
     npts, ncol0, npg = cfg.npts, cfg.ncol, cfg.np_gll
     interpret = pallas_interpret()
-    calls, geom = _rowchain_calls(cfg, precision, interpret)
+    calls, geom = _rowchain_calls(cfg, precision, interpret, precomposed)
     bridge_in, step_t, bridge_out = (
         calls["bridge_in"], calls["step_t"], calls["bridge_out"])
     step2_t = calls["step2_t"]
@@ -945,21 +988,25 @@ def _rowchain_forms(cfg, precision: str):
     @functools.partial(jax.jit, static_argnames="n")
     def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
         lrow, w2 = _build(data)
+        # precomposed: the t-step kernels apply the squared operator ONCE
+        # per step (the step's two applications are adjacent in the
+        # t-carry dataflow); bridges keep the plain operator
+        lstep = precompose_operator(lrow) if precomposed else lrow
         t = bridge_in(lrow, _q2(data.qtens))
         nt = max(n - 1, 0)
         if step3_t is not None and nt >= 3:
             t, _ = jax.lax.scan(
-                lambda tt, _: (step3_t(lrow, w2, tt), None), t, None,
+                lambda tt, _: (step3_t(lstep, w2, tt), None), t, None,
                 length=nt // 3)
             nt %= 3
         if step2_t is not None and nt >= 2:
             t, _ = jax.lax.scan(
-                lambda tt, _: (step2_t(lrow, w2, tt), None), t, None,
+                lambda tt, _: (step2_t(lstep, w2, tt), None), t, None,
                 length=nt // 2)
             nt %= 2
         if nt:
             t, _ = jax.lax.scan(
-                lambda tt, _: (step_t(lrow, w2, tt), None), t, None,
+                lambda tt, _: (step_t(lstep, w2, tt), None), t, None,
                 length=nt)
         return _from_q2(bridge_out(lrow, w2, t))
 
@@ -990,3 +1037,31 @@ def make_dss2d_rowchain(cfg):
 )
 def make_dss2d_rowchain_x3(cfg):
     return _rowchain_forms(cfg, "bf16x3")
+
+
+@register(
+    "biharmonic_dss2d",
+    "fused_operator_rowchain_sq",
+    "rowchain with the PRECOMPOSED squared operator: the t-carry step's "
+    "two adjacent bd8 applications (t' = jp(A(A(ip(t)w)))) collapse into "
+    "one apply of A² (computed once at prepare, same shape/traffic) — "
+    "half the per-step MXU passes.  Roofline: the blocked k=3 step's "
+    "measured 1196 us/step ~ 750 us DMA bound + 485 us x3-MXU with no "
+    "overlap; A² puts the MXU half at 243 us ('highest' here: 970 -> "
+    "485 us)",
+)
+def make_dss2d_rowchain_sq(cfg):
+    return _rowchain_forms(cfg, "highest", precomposed=True)
+
+
+@register(
+    "biharmonic_dss2d",
+    "fused_operator_rowchain_sq_x3",
+    "precomposed-A² rowchain with 3-pass bf16 f32-emulation dots (see "
+    "fused_operator_rowchain_sq; the production MXU floor halves to "
+    "~243 us/step)",
+    supports_f64=False,
+    verify_tol=5e-5,  # bf16x3 compounding over the chained applications
+)
+def make_dss2d_rowchain_sq_x3(cfg):
+    return _rowchain_forms(cfg, "bf16x3", precomposed=True)

@@ -1,0 +1,179 @@
+"""mpdata production roofline: per-step VPU op count x measured issue rate.
+
+VERDICT r3 weak #3: the production champion (pallas_xmajor, 601-644
+us/step) sits 1.3x over the measured 470 us DMA-only pipeline, justified
+only by a circular "VPU stage floor" argument.  This script closes that
+with a computable model, the same discipline as biharmonic's 2.9 us
+x3-MXU floor:
+
+  1. `opcount`  (any backend): trace advect_packed_hoisted (the exact
+     in-kernel step body pallas_xmajor runs, pallas_xmajor.py:109-111) at
+     production shapes and count per-element VPU work from the jaxpr —
+     arithmetic/select ops weighted by output element count; slices and
+     concats along the leading (untiled) x axis counted as data movement
+     (register addressing in the x-major layout), lane rolls counted as
+     1 op/element.
+  2. `vpurate`  (real chip): a Pallas microbenchmark issuing a long chain
+     of dependent elementwise f32 ops on a VMEM-resident block (zero HBM
+     traffic in steady state), slope-timed -> elements/s issue rate.
+  3. floor = ops_per_step / rate, compared against the measured step and
+     the 470 us DMA bound (reference idiom: the per-stage nvprof
+     attribution, mmf-mpdata-tracer/results/advect.pgiacc.17.7-nvprof).
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ARITH = {
+    "add", "sub", "mul", "div", "max", "min", "abs", "neg", "sign",
+    "select_n", "integer_pow", "pow", "exp", "log", "sqrt", "rsqrt",
+    "eq", "ne", "lt", "le", "gt", "ge", "and", "or", "not", "xor",
+    "rem", "floor", "ceil", "round", "convert_element_type",
+}
+MOVE_FREE = {
+    # leading-axis slicing/concat in the x-major layout is addressing
+    "slice", "concatenate", "pad", "squeeze", "reshape", "broadcast_in_dim",
+    "dynamic_slice", "dynamic_update_slice", "rev", "transpose", "copy",
+    "iota",
+}
+
+
+def _size(aval):
+    n = 1
+    for d in aval.shape:
+        n *= d
+    return n
+
+
+def count_ops(jaxpr, counts=None):
+    counts = counts if counts is not None else Counter()
+    for eqn in jaxpr.eqns:
+        for sub in jax.core.jaxprs_in_params(eqn.params) if hasattr(
+                jax.core, "jaxprs_in_params") else []:
+            count_ops(sub, counts)
+        for k, v in eqn.params.items():
+            if k in ("jaxpr", "call_jaxpr", "cond_jaxpr", "body_jaxpr"):
+                inner = v.jaxpr if hasattr(v, "jaxpr") else v
+                count_ops(inner, counts)
+            elif k == "branches":
+                for br in v:
+                    count_ops(br.jaxpr if hasattr(br, "jaxpr") else br,
+                              counts)
+        name = eqn.primitive.name
+        out_elems = sum(_size(ov.aval) for ov in eqn.outvars)
+        counts[name] += out_elems
+    return counts
+
+
+def opcount(production=True):
+    from cdk_tpu.core.config import MpdataConfig, production_config, \
+        with_overrides
+    from cdk_tpu.kernels.mpdata.pallas_packed import SEG, _packed_kspan
+    from cdk_tpu.kernels.mpdata.pallas_resident import (
+        advect_packed_hoisted,
+        make_invariants,
+    )
+    from cdk_tpu.kernels.mpdata.pallas_xmajor import GRP, pick_block_x
+
+    cfg = (production_config("mpdata") if production
+           else with_overrides(MpdataConfig(), device_init=False))
+    nzm, nx, nsl = cfg.nzm, cfg.nx, cfg.nslices
+    g = -(-nsl // GRP)
+    b = pick_block_x(g)
+    dt = jnp.float32
+    shp4 = (b, nx + 6, 8, 2 * SEG)
+    shp3 = (b, 8, 2 * SEG)
+    # staggered extents (problem.init_data): u at x-faces nx+5, w nx+4
+    u = jnp.zeros((b, nx + 5, 8, 2 * SEG), dt)
+    w = jnp.zeros((b, nx + 4, 8, 2 * SEG), dt)
+    rho = jnp.ones(shp3, dt)
+    kspan = _packed_kspan(nzm, dt)
+
+    inv = jax.eval_shape(
+        lambda u, w, r1, r2, r3, ks: make_invariants(u, w, r1, r2, r3, ks,
+                                                     nzm, nx),
+        u, w, rho, rho, rho, kspan)
+    inv_z = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), inv)
+
+    jx = jax.make_jaxpr(
+        lambda f, flux: advect_packed_hoisted(f, flux, inv_z, nx, nzm)
+    )(jnp.zeros(shp4, dt), jnp.zeros(shp3, dt))
+    counts = count_ops(jx.jaxpr)
+
+    arith = sum(v for k, v in counts.items() if k in ARITH)
+    move = sum(v for k, v in counts.items() if k in MOVE_FREE)
+    other = {k: v for k, v in counts.items()
+             if k not in ARITH and k not in MOVE_FREE}
+    # per-invocation -> per full production step (g/b invocations)
+    scale = g / b
+    print(f"config: nslices={nsl} nx={nx} nzm={nzm} "
+          f"(g={g} blocks of {GRP}, block={b})")
+    print(f"per-step VPU element-ops (arith+select): {arith * scale:.3e}")
+    print(f"per-step movement element-ops (slices/concat/pad, "
+          f"addressing in x-major): {move * scale:.3e}")
+    if other:
+        print("unclassified primitives:",
+              {k: f"{v * scale:.2e}" for k, v in sorted(other.items())})
+    top = sorted(((v, k) for k, v in counts.items() if k in ARITH),
+                 reverse=True)[:12]
+    print("top arith primitives (per step):")
+    for v, k in top:
+        print(f"    {k:<22s} {v * scale:.3e}")
+    return arith * scale
+
+
+def vpurate():
+    """Measured VPU elementwise issue rate: a long dependent chain of
+    mul+add on an (512, 1024) f32 VMEM block, repeated in-kernel."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cdk_tpu.core.timer import slope_time
+
+    CH = 64  # dependent mul+add pairs per loop iteration
+
+    def kern(x_ref, o_ref, *, reps):
+        def body(_, a):
+            for _i in range(CH):
+                a = a * 1.0000001 + 1e-9
+            return a
+
+        o_ref[...] = jax.lax.fori_loop(0, reps, body, x_ref[...])
+
+    shape = (512, 1024)
+    x = jnp.ones(shape, jnp.float32)
+
+    def make_runner(n):
+        call = pl.pallas_call(
+            functools.partial(kern, reps=n),
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        )
+        f = jax.jit(lambda x: call(x))
+        return lambda d: f(d)
+
+    sec = slope_time(make_runner, x, n1=20, n2=160, trials=3,
+                     min_delta=20e-3)
+    elems = shape[0] * shape[1]
+    ops = 2 * CH * elems  # mul+add per chain link
+    rate = ops / sec
+    print(f"VPU issue rate: {rate / 1e12:.3f} T element-ops/s "
+          f"({sec * 1e6:.2f} us per {CH}-pair rep on {shape})")
+    return rate
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "opcount"
+    if what == "opcount":
+        opcount("--shipped" not in sys.argv)
+    elif what == "vpurate":
+        vpurate()
+    else:
+        raise SystemExit(f"unknown mode {what}")

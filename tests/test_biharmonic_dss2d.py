@@ -246,6 +246,34 @@ def test_dss2d_rowchain_matches_chained_reference(nelemd):
         assert rel_l2(np.asarray(loop(data, n)), np.asarray(q)) < 1e-13, n
 
 
+@pytest.mark.parametrize("nelemd", [16, 160])
+def test_dss2d_rowchain_sq_matches_chained_reference(nelemd):
+    """The precomposed-A² rowchain (one apply of the squared operator per
+    t-step instead of two adjacent applies) == chained reference at f64:
+    proves the composition is exact algebra, not an approximation.  n
+    values cover the single/double/triple-step scan paths like the plain
+    rowchain test."""
+    import dataclasses
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(CFG, nelemd=nelemd, nlev=4, qsize=2,
+                         dtype="float64")
+    data = problem.init_data(cfg)
+    ref_step, _, _ = _materialize(
+        get("biharmonic_dss2d", "reference_jnp"), cfg, data)
+    step2, aux, loop = _materialize(
+        get("biharmonic_dss2d", "fused_operator_rowchain_sq"), cfg, data)
+    e1 = rel_l2(np.asarray(step2(aux, data)),
+                np.asarray(ref_step((), data)))
+    assert e1 < 1e-13, e1
+    for n in (2, 4, 5, 6, 7):
+        q = data.qtens
+        for _ in range(n):
+            q = ref_step((), dataclasses.replace(data, qtens=q))
+        assert rel_l2(np.asarray(loop(data, n)), np.asarray(q)) < 1e-13, n
+
+
 def test_dss2d_variants_through_harness():
     from cdk_tpu.harness import driver
 
