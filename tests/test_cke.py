@@ -179,3 +179,23 @@ def test_pallas_rows_and_staged_exact_midsize():
         out = np.asarray(get("cke", name).fn(cfg)(data))
         n_bad, max_err, _ = pointwise_check(out, ref, cfg.errtol)
         assert n_bad == 0, (name, max_err)
+
+
+def test_pallas_lanegather_exact_multigroup():
+    """Lane-axis vectorized gather (transposed table, group select tree)
+    at a config spanning several 128-cell lane groups and non-multiple
+    edge/level counts: f64 pointwise at errTol vs the reference (the
+    slot-order accumulation contract, nested.F90:533-552)."""
+    import numpy as np
+
+    from cdk_tpu.core.norms import pointwise_check
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(CkeConfig(), nedges=300, ncells=400,
+                         nvertlevels=21, nadv=6)
+    data = problem.init_data(cfg)
+    ref = np.asarray(reference.make_reference(cfg)(data))
+    step2, aux, _ = _materialize(get("cke", "pallas_lanegather"), cfg, data)
+    out = np.asarray(step2(aux, data))
+    n_bad, max_err, _ = pointwise_check(out, ref, cfg.errtol)
+    assert n_bad == 0, max_err
