@@ -70,8 +70,13 @@ def _shift_up(a, n):
     return jnp.concatenate([a[n:], jnp.zeros_like(a[:n])], axis=0)
 
 
-def _dss_resident_kernel(l_ref, w_ref, ql_ref, qc_ref, qr_ref, out_ref, *,
-                         nsteps, precision, gn, hg_rows, npg):
+def _dss_resident_kernel(*refs, nsteps, precision, gn, hg_rows, npg,
+                         precomposed=False):
+    if precomposed:
+        l_ref, l2_ref, w_ref, ql_ref, qc_ref, qr_ref, out_ref = refs
+    else:
+        l_ref, w_ref, ql_ref, qc_ref, qr_ref, out_ref = refs
+        l2_ref = None
     W = l_ref.shape[1]
     q2 = jnp.concatenate([ql_ref[...], qc_ref[...], qr_ref[...]], axis=0)
     rows = q2.shape[0]
@@ -85,34 +90,37 @@ def _dss_resident_kernel(l_ref, w_ref, ql_ref, qc_ref, qr_ref, out_ref, *,
     shift = npg * npg - npg + 1
 
     f32 = q2.dtype
-    if precision == "bf16x3":
-        # hoist the step-invariant operator splits out of the k-step loop
-        ls = []
-        for b in range(W):
-            L = l_ref[0, b]
-            L_hi = L.astype(jnp.bfloat16)
-            L_lo = (L - L_hi.astype(f32)).astype(jnp.bfloat16)
-            ls.append((L_hi, L_lo))
 
-        def apply_all(q):
-            outs = []
+    def make_apply(lr):
+        if precision == "bf16x3":
+            # hoist the step-invariant operator splits out of the k-loop
+            ls = []
             for b in range(W):
-                L_hi, L_lo = ls[b]
-                x = q[b * gn:(b + 1) * gn]
-                x_hi = x.astype(jnp.bfloat16)
-                x_lo = (x - x_hi.astype(f32)).astype(jnp.bfloat16)
-                outs.append(
-                    jnp.dot(L_hi, x_hi, preferred_element_type=f32)
-                    + jnp.dot(L_hi, x_lo, preferred_element_type=f32)
-                    + jnp.dot(L_lo, x_hi, preferred_element_type=f32)
-                )
-            return jnp.concatenate(outs, axis=0)
-    else:
+                L = lr[0, b]
+                L_hi = L.astype(jnp.bfloat16)
+                L_lo = (L - L_hi.astype(f32)).astype(jnp.bfloat16)
+                ls.append((L_hi, L_lo))
+
+            def apply_all(q):
+                outs = []
+                for b in range(W):
+                    L_hi, L_lo = ls[b]
+                    x = q[b * gn:(b + 1) * gn]
+                    x_hi = x.astype(jnp.bfloat16)
+                    x_lo = (x - x_hi.astype(f32)).astype(jnp.bfloat16)
+                    outs.append(
+                        jnp.dot(L_hi, x_hi, preferred_element_type=f32)
+                        + jnp.dot(L_hi, x_lo, preferred_element_type=f32)
+                        + jnp.dot(L_lo, x_hi, preferred_element_type=f32)
+                    )
+                return jnp.concatenate(outs, axis=0)
+
+            return apply_all
 
         def apply_all(q):
             return jnp.concatenate(
                 [
-                    jnp.dot(l_ref[0, b], q[b * gn:(b + 1) * gn],
+                    jnp.dot(lr[0, b], q[b * gn:(b + 1) * gn],
                             precision=precision,
                             preferred_element_type=f32)
                     for b in range(W)
@@ -120,17 +128,34 @@ def _dss_resident_kernel(l_ref, w_ref, ql_ref, qc_ref, qr_ref, out_ref, *,
                 axis=0,
             )
 
-    def body(_, q):
-        s = apply_all(q)
-        d = (s + m0 * _shift_down(s, shift)
-             + m3 * _shift_up(s, shift)) * w2
-        return apply_all(d)
+        return apply_all
 
-    q2 = jax.lax.fori_loop(0, nsteps, body, q2)
+    apply_all = make_apply(l_ref)
+
+    def asm(s):
+        return (s + m0 * _shift_down(s, shift)
+                + m3 * _shift_up(s, shift)) * w2
+
+    if precomposed:
+        # d-carry chain: (A D A)^n = A D (A² D)^{n-1} A with D the
+        # assembly — the two applications adjacent across in-kernel step
+        # boundaries collapse into ONE apply of the squared operator:
+        # nsteps+1 bd8 applies per call instead of 2·nsteps (k=8: 9 vs
+        # 16).  Same halo-validity consumption (one element per asm).
+        apply2 = make_apply(l2_ref)
+        d = asm(apply_all(q2))
+        d = jax.lax.fori_loop(0, nsteps - 1,
+                              lambda _, dd: asm(apply2(dd)), d)
+        q2 = apply_all(d)
+    else:
+        def body(_, q):
+            return apply_all(asm(apply_all(q)))
+
+        q2 = jax.lax.fori_loop(0, nsteps, body, q2)
     out_ref[...] = q2[hg_rows:rows - hg_rows]
 
 
-def _pick_geometry(eg, gn, ncol, g, itemsize):
+def _pick_geometry(eg, gn, ncol, g, itemsize, ops_values=7):
     """-> (B center groups per window, hg halo groups per side, ncol
     block).  The kernel requests vmem_limit_bytes=VMEM_LIMIT (the 16 MB
     scoped-VMEM wall is a compiler default, not hardware — round-3
@@ -145,7 +170,7 @@ def _pick_geometry(eg, gn, ncol, g, itemsize):
     for cand in sorted({d for d in range(1, eg + 1) if eg % d == 0},
                        reverse=True):
         B = cand
-        if (4 * cand + 7 * (cand + 2 * hg)) * blk <= 24 * 2**20:
+        if (4 * cand + ops_values * (cand + 2 * hg)) * blk <= 24 * 2**20:
             break
     return B, hg, _pick_ncol_blk(B + 2 * hg, gn, ncol, itemsize)
 
@@ -167,11 +192,13 @@ def _pick_ncol_blk(w_groups, gn, ncol, itemsize):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nsteps", "precision", "g", "npg", "interpret"),
+    static_argnames=("nsteps", "precision", "g", "npg", "interpret",
+                     "precomposed"),
 )
 def apply_dss_resident(lbd, w2, qg, nsteps: int, *, g: int, npg: int,
                        precision: str = "highest",
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       precomposed: bool = False):
     """k chained DSS-biharmonic steps in-kernel.
 
     lbd: (eg, gn, gn) grouped operators; w2: (eg*gn, 1) inverse assembled
@@ -185,7 +212,8 @@ def apply_dss_resident(lbd, w2, qg, nsteps: int, *, g: int, npg: int,
     ncol = -(-ncol0 // 128) * 128
     if ncol != ncol0:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, ncol - ncol0)))
-    B, hg, ncol_blk = _pick_geometry(eg, gn, ncol, g, qg.dtype.itemsize)
+    B, hg, ncol_blk = _pick_geometry(eg, gn, ncol, g, qg.dtype.itemsize,
+                                     ops_values=9 if precomposed else 7)
     nb = eg // B
     W = B + 2 * hg
 
@@ -206,15 +234,25 @@ def apply_dss_resident(lbd, w2, qg, nsteps: int, *, g: int, npg: int,
     ww = jnp.take(w2.reshape(eg, gn, 1), idx_w, axis=0).reshape(
         nb, W * gn, 1)
 
+    lop = pl.BlockSpec((1, W, gn, gn), lambda i, c: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    operands, op_specs = [lw], [lop]
+    if precomposed:
+        # squared operator (one apply of A² per inner d-carry step);
+        # formed from the grouped operator, windowed like lw
+        lbd2 = jnp.einsum("bij,bjk->bik", lbd, lbd, precision="highest",
+                          preferred_element_type=lbd.dtype)
+        operands.append(jnp.take(lbd2, idx_w, axis=0).reshape(
+            nb, W, gn, gn))
+        op_specs.append(lop)
+
     out = pl.pallas_call(
         functools.partial(_dss_resident_kernel, nsteps=nsteps,
                           precision=precision, gn=gn, hg_rows=hg * gn,
-                          npg=npg),
+                          npg=npg, precomposed=precomposed),
         out_shape=jax.ShapeDtypeStruct((eg * gn, ncol), qg.dtype),
         grid=(nb, ncol // ncol_blk),
-        in_specs=[
-            pl.BlockSpec((1, W, gn, gn), lambda i, c: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=op_specs + [
             pl.BlockSpec((1, W * gn, 1), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hg * gn, ncol_blk), lambda i, c: (i, c),
@@ -229,11 +267,11 @@ def apply_dss_resident(lbd, w2, qg, nsteps: int, *, g: int, npg: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
-    )(lw, ww, ql, q2, qr)
+    )(*operands, ww, ql, q2, qr)
     return out.reshape(eg, gn, ncol)[:, :, :ncol0]
 
 
-def _dss_resident_forms(cfg, precision: str):
+def _dss_resident_forms(cfg, precision: str, precomposed: bool = False):
     rr = cfg.np_dtype(cfg.rrearth)
     g = 8
     while cfg.nelemd % g:
@@ -264,7 +302,8 @@ def _dss_resident_forms(cfg, precision: str):
         lbd, w2 = aux
         qg = _to_grouped(data.qtens, lbd.shape[0])
         out = apply_dss_resident(lbd, w2, qg, 1, g=g, npg=npg,
-                                 precision=precision, interpret=interpret)
+                                 precision=precision, interpret=interpret,
+                                 precomposed=precomposed)
         return _from_grouped(out)
 
     @functools.partial(jax.jit, static_argnames="n")
@@ -274,7 +313,7 @@ def _dss_resident_forms(cfg, precision: str):
         k = min(KMAX, n)
         run_k = lambda q, steps: apply_dss_resident(
             lbd, w2, q, steps, g=g, npg=npg, precision=precision,
-            interpret=interpret)
+            interpret=interpret, precomposed=precomposed)
         if n // k:
             qg, _ = jax.lax.scan(lambda q, _: (run_k(q, k), None), qg,
                                  None, length=n // k)
@@ -306,6 +345,30 @@ def make_dss_bd8_resident(cfg):
 )
 def make_dss_bd8_resident_x3(cfg):
     return _dss_resident_forms(cfg, "bf16x3")
+
+
+@register(
+    "biharmonic_dss",
+    "fused_operator_bd8_resident_sq",
+    "d-carry resident DSS chain with the PRECOMPOSED squared operator: "
+    "(A·DSS·A)^n = A·DSS·(A²·DSS)^(n-1)·A, so a k-step kernel call runs "
+    "k+1 bd8 applies instead of 2k (k=8: 1.78x less MXU work on the "
+    "compute-bound chain; 'highest' dots)",
+)
+def make_dss_bd8_resident_sq(cfg):
+    return _dss_resident_forms(cfg, "highest", precomposed=True)
+
+
+@register(
+    "biharmonic_dss",
+    "fused_operator_bd8_resident_sq_x3",
+    "precomposed-A² d-carry resident DSS chain with 3-pass bf16 "
+    "f32-emulation dots (see fused_operator_bd8_resident_sq)",
+    supports_f64=False,
+    verify_tol=5e-5,  # bf16x3 compounding over the chained applications
+)
+def make_dss_bd8_resident_sq_x3(cfg):
+    return _dss_resident_forms(cfg, "bf16x3", precomposed=True)
 
 @functools.partial(
     jax.jit,

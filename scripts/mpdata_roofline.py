@@ -129,8 +129,13 @@ def opcount(production=True):
 
 
 def vpurate():
-    """Measured VPU elementwise issue rate: a long dependent chain of
-    mul+add on an (512, 1024) f32 VMEM block, repeated in-kernel."""
+    """Measured VPU elementwise issue rate on a VMEM-resident block.
+
+    A single dependent chain measures op LATENCY, not throughput (first
+    attempt read 1.6 T ops/s — below mpdata's measured rate, i.e. a
+    "floor" the real kernel beats, so it was wrong).  Here STREAMS
+    independent accumulator chains interleave so the VPU pipeline can
+    fill; the reported rate is the max over a small streams sweep."""
     import functools
 
     from jax.experimental import pallas as pl
@@ -138,35 +143,51 @@ def vpurate():
 
     from cdk_tpu.core.timer import slope_time
 
-    CH = 64  # dependent mul+add pairs per loop iteration
+    CH = 16  # mul+add pairs per accumulator per loop iteration
 
-    def kern(x_ref, o_ref, *, reps):
-        def body(_, a):
-            for _i in range(CH):
-                a = a * 1.0000001 + 1e-9
-            return a
+    def make_bench(streams, shape):
+        def kern(x_ref, o_ref, *, reps):
+            def body(_, accs):
+                out = []
+                for s, a in enumerate(accs):
+                    for _i in range(CH):
+                        a = a * 1.0000001 + 1e-9
+                    out.append(a)
+                return tuple(out)
 
-        o_ref[...] = jax.lax.fori_loop(0, reps, body, x_ref[...])
+            accs = tuple(x_ref[...] + float(s) for s in range(streams))
+            accs = jax.lax.fori_loop(0, reps, body, accs)
+            acc = accs[0]
+            for a in accs[1:]:
+                acc = acc + a
+            o_ref[...] = acc
 
-    shape = (512, 1024)
-    x = jnp.ones(shape, jnp.float32)
+        x = jnp.ones(shape, jnp.float32)
 
-    def make_runner(n):
-        call = pl.pallas_call(
-            functools.partial(kern, reps=n),
-            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
-        )
-        f = jax.jit(lambda x: call(x))
-        return lambda d: f(d)
+        def make_runner(n):
+            call = pl.pallas_call(
+                functools.partial(kern, reps=n),
+                out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 2**20),
+            )
+            f = jax.jit(lambda x: call(x))
+            return lambda d: f(d)
 
-    sec = slope_time(make_runner, x, n1=20, n2=160, trials=3,
-                     min_delta=20e-3)
-    elems = shape[0] * shape[1]
-    ops = 2 * CH * elems  # mul+add per chain link
-    rate = ops / sec
-    print(f"VPU issue rate: {rate / 1e12:.3f} T element-ops/s "
-          f"({sec * 1e6:.2f} us per {CH}-pair rep on {shape})")
-    return rate
+        sec = slope_time(make_runner, x, n1=20, n2=160, trials=3,
+                         min_delta=20e-3)
+        ops = 2 * CH * streams * shape[0] * shape[1]
+        return ops / sec
+
+    best = 0.0
+    for streams in (1, 2, 4, 8):
+        r = make_bench(streams, (128, 1024))
+        print(f"  streams={streams}: {r / 1e12:.3f} T element-ops/s",
+              flush=True)
+        best = max(best, r)
+    print(f"VPU issue rate (max over streams): {best / 1e12:.3f} "
+          f"T element-ops/s")
+    return best
 
 
 if __name__ == "__main__":

@@ -224,3 +224,32 @@ def test_dss_dist_loop_matches_chained():
         q_ref = ref_step(d)
         d = replace(d, qtens=q_ref)
     assert rel_l2(out_loop, np.asarray(q_ref)) < 1e-11
+
+
+@pytest.mark.parametrize("nelemd", [8, 5])  # g=8 and the odd-g fallback
+def test_dss_resident_sq_matches_chained_reference(nelemd):
+    """The precomposed-A² d-carry resident chain ((A·DSS·A)^n computed as
+    A·DSS·(A²·DSS)^(n-1)·A with one bd8 apply per inner step) == chained
+    reference at f64: the composition is exact algebra.  n=1 hits the
+    degenerate no-inner-step path, n=3 the single-call remainder, n=11
+    the scan(k=8)+remainder path."""
+    import dataclasses
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(BiharmonicConfig(), nelemd=nelemd, nlev=4,
+                         qsize=2, dtype="float64")
+    data = problem.init_data(cfg)
+    ref_step, _, _ = _materialize(
+        get("biharmonic_dss", "reference_jnp"), cfg, data)
+    step2, aux, loop = _materialize(
+        get("biharmonic_dss", "fused_operator_bd8_resident_sq"), cfg,
+        data)
+    e1 = rel_l2(np.asarray(step2(aux, data)),
+                np.asarray(ref_step((), data)))
+    assert e1 < 1e-13, e1
+    for n in (1, 3, 11):
+        q = data.qtens
+        for _ in range(n):
+            q = ref_step((), dataclasses.replace(data, qtens=q))
+        assert rel_l2(np.asarray(loop(data, n)), np.asarray(q)) < 1e-13, n
