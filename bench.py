@@ -81,7 +81,7 @@ BASELINE_KIND = {"biharmonic": "K20X", "mpdata": "K20X", "cke": "C++"}
 # bounded — the full-variant production sweep stays a hand-run artifact
 PRODUCTION_CHAMPIONS = {
     "biharmonic": "fused_operator_bd8_resident_x3",
-    "biharmonic_dss": "fused_operator_bd8_resident_x3",
+    "biharmonic_dss": "fused_operator_bd8_resident_sq_x3",
     "biharmonic_dss2d": "fused_operator_rowchain_sq_x3",
     "mpdata": "pallas_xmajor",
     "cke": "gather_peradv",

@@ -483,7 +483,12 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
     nparts = mesh.devices.size
     rr = cfg.np_dtype(cfg.rrearth)
     precision = "highest" if cfg.dtype == "float64" else "bf16x3"
-    calls, geom = _rowchain_calls(cfg, precision, pallas_interpret())
+    # precomposed: the t-step kernels apply the squared operator ONCE per
+    # step (pallas_dss2d_resident._make_fused_apply — measured 1.66x on
+    # the single-chip production steady state); A² is per-row local, so
+    # it commutes with the row sharding and the boundary ppermutes
+    calls, geom = _rowchain_calls(cfg, precision, pallas_interpret(),
+                                  precomposed=True)
     ex, ey, g, gb, gn, L, ncol, ncol0 = geom
     if ex % nparts:
         raise ValueError(f"element rows {ex} not divisible by {nparts}")
@@ -622,26 +627,31 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
             check_vma=False,
         )
         def run(q_loc, aux):
+            from cdk_tpu.kernels.biharmonic.pallas_dss2d_resident import (
+                precompose_operator,
+            )
+
             lrow, w2 = aux
+            lsq = precompose_operator(lrow)  # step-kernel operand (A²)
             exl = lrow.shape[0]
             t = calls["bridge_in"](lrow, q_loc.reshape(exl * L, cfg.ncol))
             nt = max(n - 1, 0)
             if step3_padded is not None and not overlap and nt >= 3:
-                lrow_p3, w2_p3 = _pad3_ops(lrow, w2)
+                lrow_p3, w2_p3 = _pad3_ops(lsq, w2)
                 t, _ = lax.scan(
                     lambda tt, _: (_step3_serial(lrow_p3, w2_p3, tt),
                                    None),
                     t, None, length=nt // 3)
                 nt %= 3
             if step2_padded is not None and not overlap and nt >= 2:
-                lrow_p, w2_p = _pad2_ops(lrow, w2)
+                lrow_p, w2_p = _pad2_ops(lsq, w2)
                 t, _ = lax.scan(
                     lambda tt, _: (_step2_serial(lrow_p, w2_p, tt), None),
                     t, None, length=nt // 2)
                 nt %= 2
             if nt:
                 t, _ = lax.scan(
-                    lambda tt, _: (step_fn(lrow, w2, tt), None),
+                    lambda tt, _: (step_fn(lsq, w2, tt), None),
                     t, None, length=nt)
             q = calls["bridge_out_padded"](lrow, w2, _pad_exchanged(t))
             return q[:, :cfg.ncol].reshape(exl, L, cfg.ncol)
@@ -677,7 +687,9 @@ def make_dist_loop_dss2d_rowchain_kstep(cfg, mesh: Mesh, kstep: int = 4):
     nparts = mesh.devices.size
     rr = cfg.np_dtype(cfg.rrearth)
     precision = "highest" if cfg.dtype == "float64" else "bf16x3"
-    calls, geom = _rowchain_calls(cfg, precision, pallas_interpret())
+    # precomposed step kernels (A² per t-step; see the serial loop above)
+    calls, geom = _rowchain_calls(cfg, precision, pallas_interpret(),
+                                  precomposed=True)
     ex, ey, g, gb, gn, L, ncol, ncol0 = geom
     if ex % nparts:
         raise ValueError(f"element rows {ex} not divisible by {nparts}")
@@ -727,10 +739,15 @@ def make_dist_loop_dss2d_rowchain_kstep(cfg, mesh: Mesh, kstep: int = 4):
             check_vma=False,
         )
         def run(q_loc, aux):
+            from cdk_tpu.kernels.biharmonic.pallas_dss2d_resident import (
+                precompose_operator,
+            )
+
             lrow, w2 = aux
             # step-invariant extended operator/weight windows: one
-            # exchange per dispatch
-            lrow_e = _ext(lrow, kstep)
+            # exchange per dispatch; the step kernels take the squared
+            # operator (bridges keep the plain one)
+            lrow_e = _ext(precompose_operator(lrow), kstep)
             w_e = _ext(w2, kstep)
             t = calls["bridge_in"](lrow, q_loc.reshape(ex_loc * L,
                                                        cfg.ncol))

@@ -186,6 +186,12 @@ def _fused_dss_forms(cfg, precision):
 
     rr = cfg.np_dtype(cfg.rrearth)
     npg = cfg.np_gll
+    if cfg.dtype == "float64":
+        # an explicit precision on a f64 einsum forces XLA:TPU's bf16
+        # MXU emulation (~1e-9 rel err); None lets it lower to the true
+        # f64 software path (~1e-15 — measured on chip,
+        # results/tpu-v5e/f64-on-chip-round4.txt)
+        precision = None
 
     def _build(data):
         L = build_element_operator(

@@ -168,6 +168,11 @@ def _fused_dss2d_forms(cfg, precision):
     rr = cfg.np_dtype(cfg.rrearth)
     npg = cfg.np_gll
     ex, ey = torus_shape(cfg.nelemd)
+    if cfg.dtype == "float64":
+        # explicit einsum precision at f64 forces XLA:TPU's bf16 MXU
+        # emulation (~1e-9); None lowers to the true f64 path (~1e-15
+        # measured — results/tpu-v5e/f64-on-chip-round4.txt)
+        precision = None
 
     def _build(data):
         L = build_element_operator(

@@ -20,12 +20,27 @@ groups, so each (edge-block, adv-slot) does a full select tree:
     vregs + 2 FMAs  ->  at shipped size (22 groups, 13 vregs) ~598 vreg
     ops per 1280 output columns ~ 46.7 vector ops per edge
 
-vs gather_peradv's measured ~29 ns/edge: whether this wins is purely a
-question of VPU issue throughput on the gather/select mix — the reason
-this is built and measured rather than argued.  Slot accumulation is
-done per adv POSITION over whole edge blocks, so gathered columns land
-in their edge lanes directly and the sort/unsort scatter that sinks
-group-major formulations never appears.
+Slot accumulation is done per adv POSITION over whole edge blocks, so
+gathered columns land in their edge lanes directly and the sort/unsort
+scatter that sinks group-major formulations never appears.
+
+MEASURED NULL RESULT (v5e, 2026-08-20, shipped size, driver-verified):
+
+    gather_peradv       739.2 us/step   (2.9 ns per gathered slot-row)
+    pallas_lanegather  1137.8 us/step   (4.4 ns per slot-row; exact,
+                                         L1 4.8e-8)
+
+Why the lane axis loses: the select tree is priced by the VPU, and the
+measured VPU issue rate is ~2.0 T element-ops/s (scripts/
+mpdata_roofline.py vpurate, max over independent streams) ~ 2 vreg
+ops/cycle; 46.7 vreg-ops/edge is ~23 ns/edge even at that rate, and the
+gather/select mix issues below it.  With the connectivity random by
+design there is no group locality to prune the tree, so the lane axis
+CANNOT beat the XLA row-gather's 2.9 ns/row on this hardware.  Together
+with gather_selfold (accumulator folding: dead heat) and pallas_rows
+(true scalar gather: 35 ns/edge), this closes the CKE exact leg at the
+XLA gather issue rate — kept registered (experimental) as the design
+record, VERDICT r3 next-#2's committed closure.
 
 Arithmetic is exact and slot-ordered like the Fortran inner loop
 (nested.F90:533-552): s1/s3 accumulate in i = 0..nadv-1 order; the only
@@ -96,7 +111,10 @@ def _run(tmt, grp, lane, c1t, c3t, ntfm_t, sgn_t, *, ngroups, nvp, nadv,
     "lane-axis vectorized gather: transposed masked-tracer table (cells "
     "on lanes, 128 per group), per-slot intra-vreg take_along_axis + "
     "group select tree, accumulated per adv position over whole edge "
-    "blocks (no scatter-back)",
+    "blocks (no scatter-back) — measured NULL result: 1138 vs 739 us "
+    "shipped (4.4 ns/slot-row; see module docstring), the committed "
+    "closure of the CKE lane-axis question",
+    experimental=True,
 )
 def make_pallas_lanegather(cfg):
     interpret = pallas_interpret()

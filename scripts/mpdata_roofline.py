@@ -190,11 +190,78 @@ def vpurate():
     return best
 
 
+def vpumix():
+    """Issue rate of an op MIX matching the mpdata step's measured
+    distribution (opcount at production: select 26%, min 17%, mul 17%,
+    sub 14%, max 12%, add 9%, neg 4%, div 1.5%) — the all-FMA vpurate
+    reads 2.02 T ops/s while the real kernel executes its counted ops at
+    ~3.9 T effective, i.e. the VPU multi-issues across op types; this
+    benchmark prices the actual mix."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cdk_tpu.core.timer import slope_time
+
+    STREAMS = 4
+    # 14 ops per block per stream: 1 cmp + 3 select + 2 min + 2 max +
+    # 2 mul + 2 sub + 1 add + 1 neg  (div dropped: 1.5%)
+    OPS_PER_BLOCK = 14
+
+    def kern(x_ref, o_ref, *, reps):
+        def blk(a, b, c):
+            m = a > b
+            s = jnp.where(m, a, b)
+            t = jnp.where(m, b, c)
+            u = jnp.where(m, c, a)
+            a2 = jnp.minimum(s, c) * 1.0000001
+            b2 = jnp.maximum(t, b) - s
+            c2 = jnp.minimum(u, b) + (-(jnp.maximum(a, c)
+                                        * 0.9999999) - b)
+            return a2, b2, c2
+
+        def body(_, accs):
+            return tuple(blk(*tri) for tri in accs)
+
+        x = x_ref[...]
+        accs = tuple((x + float(s), x * (1.0 + s), x - float(s))
+                     for s in range(STREAMS))
+        accs = jax.lax.fori_loop(0, reps, body, accs)
+        acc = accs[0][0]
+        for tri in accs:
+            for a in tri:
+                acc = acc + a
+        o_ref[...] = acc
+
+    shape = (128, 1024)
+    x = jnp.ones(shape, jnp.float32)
+
+    def make_runner(n):
+        call = pl.pallas_call(
+            functools.partial(kern, reps=n),
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2**20),
+        )
+        f = jax.jit(lambda x: call(x))
+        return lambda d: f(d)
+
+    sec = slope_time(make_runner, x, n1=20, n2=160, trials=3,
+                     min_delta=20e-3)
+    ops = OPS_PER_BLOCK * STREAMS * shape[0] * shape[1]
+    rate = ops / sec
+    print(f"VPU mixed-op issue rate: {rate / 1e12:.3f} T element-ops/s")
+    return rate
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "opcount"
     if what == "opcount":
         opcount("--shipped" not in sys.argv)
     elif what == "vpurate":
         vpurate()
+    elif what == "vpumix":
+        vpumix()
     else:
         raise SystemExit(f"unknown mode {what}")
