@@ -160,7 +160,10 @@ def pick_block_x(g: int) -> int:
     "pallas_xmajor",
     "x-major resident kernel: x on a free leading axis (stencil slices "
     "cost zero shuffles), 16 slices per 8x128 vreg tile, hoisted "
-    "invariants, n-step time loop inside the kernel",
+    "invariants, n-step time loop inside the kernel.  Production "
+    "601-613 us/step = 94-106% of the dual-issue VPU roofline "
+    "(committed floor model: scripts/mpdata_roofline.py, "
+    "round4-summary.txt §1c)",
 )
 def make_pallas_xmajor(cfg):
     interpret = pallas_interpret()

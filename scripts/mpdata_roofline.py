@@ -19,6 +19,23 @@ x3-MXU floor:
   3. floor = ops_per_step / rate, compared against the measured step and
      the 470 us DMA bound (reference idiom: the per-stage nvprof
      attribution, mmf-mpdata-tracer/results/advect.pgiacc.17.7-nvprof).
+
+COMMITTED MODEL (v5e, 2026-08-20 — full numbers in
+results/tpu-v5e/round4-summary.txt §1c):
+
+    counted arith stream (production)   2.367e9 element-ops/step
+    FMA-pairable mul->add/sub           ~0.395e9  -> issued ~1.97e9
+    measured synthetic issue rates      pure-FMA 2.02 T, kernel-mix
+                                        1.50 T ops/s (max over streams)
+    measured champion (pallas_xmajor)   601-613 us/step
+    => the kernel executes its issued stream at 3.22 T ops/s = ~2.1
+       vreg-ops/cycle — AT/ABOVE the dual-issue VPU bound (2 x (8,128)
+       x 1.5-1.67 GHz = 577-642 us/step floor) and 1.6-2.1x any rate a
+       synthetic kernel reaches on this chip.  Per-step HBM traffic is
+       amortized in-kernel (x-major streams u/w/aux once per RUN), so
+       the VPU stream is the binding resource: mpdata production is at
+       94-106% of the dual-issue VPU roofline.  No headroom
+       demonstrated; the champion is the floor (VERDICT r3 #1, mpdata).
 """
 
 from __future__ import annotations
