@@ -507,11 +507,11 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
         dn = lax.ppermute(t[:L], axis, perm_bwd)
         return jnp.concatenate([up, t, dn], axis=0)
 
-    # blocked DOUBLE-step path (serial form): bi_d owned rows and two
-    # chained t-steps per kernel invocation — the round-3 single-chip
-    # steady-state winner (1.27 vs 2.45 ms/step at production), with the
-    # bonus that the t exchange happens once per TWO steps.  Falls back
-    # to the 1-row step when the local row count has no usable divisor.
+    # blocked k-step path (serial form): bi_d owned rows and k chained
+    # t-steps per kernel invocation — one k-row exchange per k t-steps.
+    # Deepest VMEM-admitted depth first (k=4 at production under the
+    # 100 MB limit), remainders with the shallower depths; falls back to
+    # the 1-row step when the local row count has no usable divisor.
     from cdk_tpu.kernels.biharmonic.pallas_dss2d_resident import (
         step_budget_ok,
     )
@@ -520,73 +520,49 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
     row_b = L * calls["ncol_blk"] * cfg.np_dtype(0).itemsize
     bi_d = 1
     for cand in range(min(8, exl_rows), 1, -1):
-        # same live-set budget as the single-chip bi2_ok gate (the step2
-        # window + operators, double-buffered, vs the requested 64 MB
-        # scoped-VMEM limit) — shared predicate so the gates cannot drift
+        # same live-set budget as the single-chip per-depth gates (the
+        # step window + operators, double-buffered, vs the requested
+        # 100 MB scoped-VMEM limit) — shared predicate, no gate drift
         if exl_rows % cand == 0 and step_budget_ok(2, cand, row_b):
             bi_d = cand
             break
-    step2_padded = (calls["step2_padded_factory"](bi_d)
-                    if bi_d >= 2 and exl_rows >= 2 else None)
-    # triple-step: one 3-row exchange per THREE t-steps; needs 3 local
-    # rows to donate per side and the k=3 live-set budget
-    step3_padded = (calls["step3_padded_factory"](bi_d)
-                    if bi_d >= 2 and exl_rows >= 3
-                    and step_budget_ok(3, bi_d, row_b) else None)
-    pad3 = bi_d * (-(-3 // bi_d))  # t/ops pad rows per side for triples
+    # padded k-step calls: each depth needs kk local rows to donate per
+    # side and its own live-set budget; pad width P_kk = bi_d·ceil(kk/bi_d).
+    # calls["kmax"] carries the precision-aware depth cap (k=4 only pays
+    # where the apply is cheap — the precomposed bf16x3 form)
+    steps_padded = {}
+    if bi_d >= 2:
+        for kk in range(2, calls["kmax"] + 1):
+            if exl_rows >= kk and step_budget_ok(kk, bi_d, row_b):
+                steps_padded[kk] = calls["stepk_padded_factory"](kk, bi_d)
 
-    def _pad2_t(t):
-        """Pad bi_d element rows per side; the innermost TWO carry the
-        ppermuted neighbor rows, the outer bi_d-2 are zeros (never read —
-        see step2_padded_factory)."""
-        up = lax.ppermute(t[-2 * L:], axis, perm_fwd)
-        dn = lax.ppermute(t[:2 * L], axis, perm_bwd)
-        if bi_d > 2:
-            z = jnp.zeros(((bi_d - 2) * L, t.shape[1]), t.dtype)
+    def _padk_t(t, kk):
+        """Pad P_kk element rows per side; the innermost kk carry the
+        ppermuted neighbor rows, the outer P_kk-kk are zeros (never read
+        — see stepk_padded_factory)."""
+        Pk = bi_d * (-(-kk // bi_d))
+        up = lax.ppermute(t[-kk * L:], axis, perm_fwd)
+        dn = lax.ppermute(t[:kk * L], axis, perm_bwd)
+        if Pk > kk:
+            z = jnp.zeros(((Pk - kk) * L, t.shape[1]), t.dtype)
             return jnp.concatenate([z, up, t, dn, z], axis=0)
         return jnp.concatenate([up, t, dn], axis=0)
 
-    def _pad2_ops(lrow, w2):
+    def _padk_ops(lrow, w2, kk):
         """Same pad for the step-invariant operators/weights (innermost
-        ONE valid row per side) — exchanged once per run, not per step."""
+        kk-1 valid rows per side) — exchanged once per run, not per
+        step."""
+        Pk, m = bi_d * (-(-kk // bi_d)), kk - 1
 
         def pad(x):
-            u = lax.ppermute(x[-1:], axis, perm_fwd)
-            d = lax.ppermute(x[:1], axis, perm_bwd)
-            if bi_d > 1:
-                z = jnp.zeros((bi_d - 1, *x.shape[1:]), x.dtype)
+            u = lax.ppermute(x[-m:], axis, perm_fwd)
+            d = lax.ppermute(x[:m], axis, perm_bwd)
+            if Pk > m:
+                z = jnp.zeros((Pk - m, *x.shape[1:]), x.dtype)
                 return jnp.concatenate([z, u, x, d, z], axis=0)
             return jnp.concatenate([u, x, d], axis=0)
 
         return pad(lrow), pad(w2)
-
-    def _step2_serial(lrow_p, w2_p, t):
-        return step2_padded(lrow_p, w2_p, _pad2_t(t))
-
-    def _padN_t3(t):
-        """pad3 rows per side, innermost THREE ppermuted."""
-        up = lax.ppermute(t[-3 * L:], axis, perm_fwd)
-        dn = lax.ppermute(t[:3 * L], axis, perm_bwd)
-        if pad3 > 3:
-            z = jnp.zeros(((pad3 - 3) * L, t.shape[1]), t.dtype)
-            return jnp.concatenate([z, up, t, dn, z], axis=0)
-        return jnp.concatenate([up, t, dn], axis=0)
-
-    def _pad3_ops(lrow, w2):
-        """pad3 rows per side, innermost TWO valid operator/weight rows."""
-
-        def pad(x):
-            u = lax.ppermute(x[-2:], axis, perm_fwd)
-            d = lax.ppermute(x[:2], axis, perm_bwd)
-            if pad3 > 2:
-                z = jnp.zeros((pad3 - 2, *x.shape[1:]), x.dtype)
-                return jnp.concatenate([z, u, x, d, z], axis=0)
-            return jnp.concatenate([u, x, d], axis=0)
-
-        return pad(lrow), pad(w2)
-
-    def _step3_serial(lrow_p3, w2_p3, t):
-        return step3_padded(lrow_p3, w2_p3, _padN_t3(t))
 
     def _step_serial(lrow, w2, t):
         return calls["step_t_padded"](lrow, w2, _pad_exchanged(t))
@@ -636,19 +612,16 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
             exl = lrow.shape[0]
             t = calls["bridge_in"](lrow, q_loc.reshape(exl * L, cfg.ncol))
             nt = max(n - 1, 0)
-            if step3_padded is not None and not overlap and nt >= 3:
-                lrow_p3, w2_p3 = _pad3_ops(lsq, w2)
-                t, _ = lax.scan(
-                    lambda tt, _: (_step3_serial(lrow_p3, w2_p3, tt),
-                                   None),
-                    t, None, length=nt // 3)
-                nt %= 3
-            if step2_padded is not None and not overlap and nt >= 2:
-                lrow_p, w2_p = _pad2_ops(lsq, w2)
-                t, _ = lax.scan(
-                    lambda tt, _: (_step2_serial(lrow_p, w2_p, tt), None),
-                    t, None, length=nt // 2)
-                nt %= 2
+            if not overlap:
+                for kk in sorted(steps_padded, reverse=True):
+                    if nt >= kk:
+                        lrow_p, w2_p = _padk_ops(lsq, w2, kk)
+                        t, _ = lax.scan(
+                            lambda tt, _, s=steps_padded[kk], lp=lrow_p,
+                            wp=w2_p, k=kk: (s(lp, wp, _padk_t(tt, k)),
+                                            None),
+                            t, None, length=nt // kk)
+                        nt %= kk
             if nt:
                 t, _ = lax.scan(
                     lambda tt, _: (step_fn(lsq, w2, tt), None),

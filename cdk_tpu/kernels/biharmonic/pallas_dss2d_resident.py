@@ -34,6 +34,7 @@ pallas_dss_resident.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -432,87 +433,79 @@ def _rowchain_bridge_out_kernel(l_ref, w_ref, tu_ref, tc_ref, td_ref,
     )
 
 
-def _rowchain_step_blocked_kernel(l_ref, w_ref, up_ref, c_ref, dn_ref,
-                                  out_ref, *, precision, gb, gn, npg, bi,
-                                  precomposed=False):
-    """Spatially-blocked step: Bi owned element rows per grid cell, read
-    (Bi+2) rows (the Bi center rows + ONE halo row per side) and write Bi —
-    per-owned-row HBM traffic drops from 3R+1W to ((Bi+2)R + Bi·W)/Bi.
-    Motivation: the round-3 DMA decomposition (scripts/
-    dss2d_rowchain_probe.py) measured the unblocked step at 2453 µs/step of
-    which 2339 µs is the DMA pipeline alone at the ~600 GB/s streaming
-    ceiling — the kernel is >95% memory-bound, so traffic is the only
-    lever.  Each owned row is processed as a row-sized value (never a
-    concatenated multi-row array — the resident form's 3456-row window
-    values are what crashed Mosaic at production)."""
+def _rowchain_stepk_blocked_kernel(*refs, precision, gb, gn, npg, bi, k,
+                                   precomposed=False):
+    """k chained t-steps per invocation over Bi owned element rows — the
+    one kernel behind the k=1 spatially-blocked step and its temporal
+    k=2/3/4 deepenings (they were three hand-specialized kernels through
+    round 4; same algebra, same memo order, float-identical).
+
+    Ref layout (positional, mirroring the in_specs the call builders
+    construct): 2(k-1)+1 operator refs (k-1 one-row halo refs per side
+    around the Bi-row center block), the same count of weight refs, then
+    2k+1 t refs (k one-row halo refs per side around the Bi-row center),
+    then out.
+
+    Traffic/validity: read Bi+2k t rows, write Bi — each in-kernel step
+    consumes one halo row per side (the deep-halo argument of the k-step
+    chains).  Level-m intermediate rows t^(m)_j are valid for j in
+    [-(k-m), Bi+k-m-1] and need operators at the same j, hence the k-1
+    operator halo refs per side.  Motivation: the round-3 DMA
+    decomposition (scripts/dss2d_rowchain_probe.py) measured the
+    unblocked step >95% memory-bound at the ~570 GB/s streaming ceiling,
+    so per-owned-row-step traffic ((2Bi+2k) t rows + (Bi+2(k-1)) operator
+    blocks per k·Bi row-steps) is the lever; with the precomposed-A² step
+    the MXU half no longer masks the k=3→4 DMA saving.
+
+    Each row is processed as a row-sized value (never a concatenated
+    multi-row array — the resident form's 3456-row window values are what
+    crashed Mosaic at production); intermediate rows are memoized helper
+    values retired by Mosaic's SSA liveness after their last consumer, so
+    at most ~3 rows per level are live."""
+    nl = 2 * (k - 1) + 1
+    l_refs = refs[:nl]
+    w_refs = refs[nl:2 * nl]
+    t_refs = refs[2 * nl:2 * nl + 2 * k + 1]
+    out_ref = refs[2 * nl + 2 * k + 1]
+    c_ref = t_refs[k]
     dt = c_ref.dtype
     L = gb * gn
     masks = _masks_j(L, npg, L, dt)
-    for r in range(bi):
-        tu = up_ref[...] if r == 0 else c_ref[(r - 1) * L:r * L]
-        tc = c_ref[r * L:(r + 1) * L]
-        td = dn_ref[...] if r == bi - 1 else c_ref[(r + 1) * L:(r + 2) * L]
-        fused = _make_fused_apply(l_ref, gb, gn, precision, dt, row=r,
-                                  precomposed=precomposed)
-        d = _ipass_w(tu, tc, td, w_ref[r], npg, dt)
-        out_ref[r * L:(r + 1) * L] = _jpass(fused(d), masks, npg, L)
-
-
-def _rowchain_step2_blocked_kernel(lu_ref, lc_ref, ld_ref, wu_ref, wc_ref,
-                                   wd_ref, up2_ref, up1_ref, c_ref, dn1_ref,
-                                   dn2_ref, out_ref, *, precision,
-                                   gb, gn, npg, bi, precomposed=False):
-    """TWO chained t-steps per invocation over Bi owned rows (the temporal
-    k=2 deepening of _rowchain_step_blocked_kernel): read Bi+4 t rows
-    (2 halo rows per side — each in-kernel step consumes one), write Bi.
-    Steady-state HBM traffic per owned-row-step drops another ~1.5x vs the
-    k=1 blocked step ((Bi+4+Bi) t rows + (Bi+2) operator blocks per 2·Bi
-    row-steps).  The intermediate t' rows are computed on demand with a
-    3-row rolling window, so at most 3 extra row-sized values are live —
-    the same row-local discipline that keeps Mosaic inside VMEM.
-
-    Halo validity: t'_j for j in [-1, Bi] needs t rows j-1..j+1, i.e. the
-    up2/dn2 refs; out_r (r in [0, Bi)) needs t'_{r-1}..t'_{r+1} — exactly
-    the computed range.  Operators/weights for row j=-1 (j=Bi) come from
-    the dedicated up (down) refs since a (Bi+2)-row block cannot sit at
-    the i·Bi-1 offset in block-index units."""
-    dt = c_ref.dtype
-    L = gb * gn
-    masks = _masks_j(L, npg, L, dt)
+    lc = k - 1  # center-block index in l_refs/w_refs
 
     def t_row(j):
-        if j == -2:
-            return up2_ref[...]
-        if j == -1:
-            return up1_ref[...]
-        if j == bi:
-            return dn1_ref[...]
-        if j == bi + 1:
-            return dn2_ref[...]
+        if j < 0:
+            return t_refs[k + j][...]
+        if j >= bi:
+            return t_refs[k + 1 + j - bi][...]
         return c_ref[j * L:(j + 1) * L]
 
     def ops_w(j):
-        if j == -1:
-            return lu_ref, 0, wu_ref[0]
-        if j == bi:
-            return ld_ref, 0, wd_ref[0]
-        return lc_ref, j, wc_ref[j]
+        if j < 0:
+            return l_refs[lc + j], 0, w_refs[lc + j][0]
+        if j >= bi:
+            o = lc + 1 + j - bi
+            return l_refs[o], 0, w_refs[o][0]
+        return l_refs[lc], j, w_refs[lc][j]
 
-    def tprime(j):
+    def fused_step(j, row_of):
         l_ref, row, w = ops_w(j)
         fused = _make_fused_apply(l_ref, gb, gn, precision, dt, row=row,
                                   precomposed=precomposed)
-        d = _ipass_w(t_row(j - 1), t_row(j), t_row(j + 1), w, npg, dt)
+        d = _ipass_w(row_of(j - 1), row_of(j), row_of(j + 1), w, npg, dt)
         return _jpass(fused(d), masks, npg, L)
 
-    tp_prev, tp_cur = tprime(-1), tprime(0)
+    row_of = t_row
+    for _ in range(k - 1):
+        prev, memo = row_of, {}
+
+        def row_of(j, prev=prev, memo=memo):
+            if j not in memo:
+                memo[j] = fused_step(j, prev)
+            return memo[j]
+
     for r in range(bi):
-        tp_next = tprime(r + 1)
-        fused = _make_fused_apply(lc_ref, gb, gn, precision, dt, row=r,
-                                  precomposed=precomposed)
-        d = _ipass_w(tp_prev, tp_cur, tp_next, wc_ref[r], npg, dt)
-        out_ref[r * L:(r + 1) * L] = _jpass(fused(d), masks, npg, L)
-        tp_prev, tp_cur = tp_cur, tp_next
+        out_ref[r * L:(r + 1) * L] = fused_step(r, row_of)
 
 
 # The Mosaic scoped-VMEM limit defaults to 16 MB on a chip with 128 MB of
@@ -522,80 +515,32 @@ def _rowchain_step2_blocked_kernel(lu_ref, lc_ref, ld_ref, wu_ref, wc_ref,
 # "scoped-VMEM OOM" skip in results/), which it is not.  Budgets below are
 # sized so 2x double-buffered windows + the kernel value stack stay well
 # under the requested limit.
-VMEM_LIMIT = 64 * 2**20
+#   100 MB (of the v5e's 128 MB VMEM): the k=4/bi=5 production rowchain
+#   (21.9 MB predicate live set) crashes the Mosaic compile helper at the
+#   round-3 64 MB request and compiles + runs at 100 MB (measured round 4:
+#   878.9 µs/step verified, vs 924.3 at k=3) — Mosaic's real accounting
+#   (double-buffered windows + per-level value stack) runs ~3-4.6× the
+#   predicate, which is what the 24 MB budget in step_budget_ok encodes.
+VMEM_LIMIT = int(os.environ.get("CDK_DSS2D_VMEM_MB", "100")) * 2**20
 
-
-def _rowchain_step3_blocked_kernel(lu2_ref, lu1_ref, lc_ref, ld1_ref,
-                                   ld2_ref, wu2_ref, wu1_ref, wc_ref,
-                                   wd1_ref, wd2_ref, up3_ref, up2_ref,
-                                   up1_ref, c_ref, dn1_ref, dn2_ref,
-                                   dn3_ref, out_ref, *, precision, gb, gn,
-                                   npg, bi, precomposed=False):
-    """THREE chained t-steps per invocation (temporal k=3): read Bi+6 t
-    rows (3 halo rows per side), write Bi.  Steady-state HBM traffic per
-    owned-row-step: ((Bi+6)+Bi) t rows + (Bi+4) operator blocks per 3·Bi
-    row-steps — 1.67 row-units at Bi=5 vs the double-step's 2.1 and the
-    unblocked step's 5.  Intermediate t'/t'' rows are memoized helper
-    values; Mosaic's SSA liveness retires each after its last consumer,
-    so at most ~3 rows of each level are live (the row-local discipline).
-
-    Validity: t'_j (j in [-2, Bi+1]) needs t_{j-1..j+1}; t''_j (j in
-    [-1, Bi]) needs t'; out_r needs t''_{r-1..r+1} — each in-kernel step
-    consumes one halo row per side, exactly the deep-halo argument of the
-    k-step chains."""
-    dt = c_ref.dtype
-    L = gb * gn
-    masks = _masks_j(L, npg, L, dt)
-
-    def t_row(j):
-        if j < 0:
-            return (up1_ref, up2_ref, up3_ref)[-j - 1][...]
-        if j >= bi:
-            return (dn1_ref, dn2_ref, dn3_ref)[j - bi][...]
-        return c_ref[j * L:(j + 1) * L]
-
-    def ops_w(j):
-        if j < 0:
-            return ((lu1_ref, 0, wu1_ref[0]) if j == -1
-                    else (lu2_ref, 0, wu2_ref[0]))
-        if j >= bi:
-            return ((ld1_ref, 0, wd1_ref[0]) if j == bi
-                    else (ld2_ref, 0, wd2_ref[0]))
-        return lc_ref, j, wc_ref[j]
-
-    def fused_step(j, row_of):
-        l_ref, row, w = ops_w(j)
-        fused = _make_fused_apply(l_ref, gb, gn, precision, dt, row=row,
-                                  precomposed=precomposed)
-        d = _ipass_w(row_of(j - 1), row_of(j), row_of(j + 1), w, npg, dt)
-        return _jpass(fused(d), masks, npg, L)
-
-    tp_memo = {}
-
-    def tprime(j):
-        if j not in tp_memo:
-            tp_memo[j] = fused_step(j, t_row)
-        return tp_memo[j]
-
-    tpp_memo = {}
-
-    def tsecond(j):
-        if j not in tpp_memo:
-            tpp_memo[j] = fused_step(j, tprime)
-        return tpp_memo[j]
-
-    for r in range(bi):
-        out_ref[r * L:(r + 1) * L] = fused_step(r, tsecond)
+# Temporal-blocking request cap for the rowchain loop forms; each k is
+# still gated by step_budget_ok at the actual geometry.  Env overrides
+# (KMAX, VMEM_MB) are probe hooks for A/B-ing depths on the real chip.
+ROWCHAIN_KMAX = int(os.environ.get("CDK_ROWCHAIN_KMAX", "4"))
 
 
 def step_budget_ok(k: int, bi: int, row_b: int) -> bool:
     """Live-set budget gate for the temporal k-step blocked rowchain:
     (bi+2k) input t rows + bi output rows + bi operator blocks + ~(6(k-1))
     intermediate rows, all (L, ncol_blk) of row_b bytes, vs the requested
-    64 MB scoped-VMEM limit (24 MB leaves double-buffer + Mosaic margin).
-    Single source of truth shared by this kernel's bi2_ok/bi3_ok gates and
-    the dist loop's bi_d selection (dist/biharmonic.py) so the two cannot
-    drift apart."""
+    100 MB scoped-VMEM limit.  The 24 MB budget encodes the measured
+    ~3-4.6× gap between this predicate and Mosaic's real accounting
+    (double-buffered windows + per-level value stack): the production
+    k=4/bi=5 geometry (21.9 MB here) needs >64 MB requested and fits at
+    100 MB; k=5 (25.3 MB) would need more than the chip's 128 MB — the
+    gate excludes it correctly.  Single source of truth shared by this
+    kernel's per-depth gates and the dist loop's bi_d selection
+    (dist/biharmonic.py) so the two cannot drift apart."""
     return bi > 1 and (3 * bi + 6 * k) * row_b <= 24 * 2**20
 
 
@@ -707,44 +652,15 @@ def _rowchain_calls(cfg, precision, interpret, precomposed=False):
         return _mod_call(_rowchain_bridge_out_kernel, lrow, wrow, t)
 
     bi = _pick_bi(ex, L, ncol_blk, itemsize)
-
-    def step_t_blocked(lrow, wrow, t):
-        # Bi owned rows per grid cell; one halo row per side via separate
-        # 1-row refs (mod-ex wrap in the index maps, like _mod_call)
-        return pl.pallas_call(
-            functools.partial(_rowchain_step_blocked_kernel, bi=bi,
-                              **kw_step),
-            out_shape=jax.ShapeDtypeStruct((ex * L, ncol), t.dtype),
-            grid=(ex // bi, ncol // ncol_blk),
-            in_specs=[
-                pl.BlockSpec((bi, gb, gn, gn), lambda i, c: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bi, L, 1), lambda i, c: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, ncol_blk),
-                             lambda i, c: ((i * bi - 1) % ex, c),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, ncol_blk),
-                             lambda i, c: ((i * bi + bi) % ex, c),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
-                                   memory_space=pltpu.VMEM),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=VMEM_LIMIT),
-            interpret=interpret,
-        )(lrow, wrow, t, t, t)
-
-    # temporal k=2 double-step: needs 2 halo rows per side; the extra
-    # live set ((bi+4) t rows + 3 t'-rows + (bi+2) operator blocks) is
-    # budgeted against the requested VMEM_LIMIT like _pick_bi
     row_b = L * ncol_blk * itemsize
-    bi2_ok = step_budget_ok(2, bi, row_b)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
-    def step2_t_blocked(lrow, wrow, t):
+    def stepk_blocked(kk):
+        """Temporal-k spatially-blocked step call: Bi owned rows per grid
+        cell, kk halo t rows and kk-1 operator halo blocks per side as
+        separate one-row refs (mod-ex wrap in the index maps, like
+        _mod_call).  Each kk is gated by step_budget_ok at the caller."""
+        nl = 2 * (kk - 1) + 1
         lrow1 = lambda o: pl.BlockSpec(
             (1, gb, gn, gn), lambda i, c, o=o: ((i * bi + o) % ex, 0, 0, 0),
             memory_space=pltpu.VMEM)
@@ -754,136 +670,49 @@ def _rowchain_calls(cfg, precision, interpret, precomposed=False):
         trow = lambda o: pl.BlockSpec(
             (L, ncol_blk), lambda i, c, o=o: ((i * bi + o) % ex, c),
             memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            functools.partial(_rowchain_step2_blocked_kernel, bi=bi,
-                              **kw_step),
-            out_shape=jax.ShapeDtypeStruct((ex * L, ncol), t.dtype),
-            grid=(ex // bi, ncol // ncol_blk),
-            in_specs=[
-                lrow1(-1),
-                pl.BlockSpec((bi, gb, gn, gn), lambda i, c: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                lrow1(bi),
-                w1(-1),
-                pl.BlockSpec((bi, L, 1), lambda i, c: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                w1(bi),
-                trow(-2),
-                trow(-1),
-                pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
-                             memory_space=pltpu.VMEM),
-                trow(bi),
-                trow(bi + 1),
-            ],
-            out_specs=pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
-                                   memory_space=pltpu.VMEM),
-            compiler_params=cparams,
-            interpret=interpret,
-        )(lrow, lrow, lrow, wrow, wrow, wrow, t, t, t, t, t)
+        in_specs = (
+            [lrow1(o) for o in range(-(kk - 1), 0)]
+            + [pl.BlockSpec((bi, gb, gn, gn), lambda i, c: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)]
+            + [lrow1(bi + o) for o in range(kk - 1)]
+            + [w1(o) for o in range(-(kk - 1), 0)]
+            + [pl.BlockSpec((bi, L, 1), lambda i, c: (i, 0, 0),
+                            memory_space=pltpu.VMEM)]
+            + [w1(bi + o) for o in range(kk - 1)]
+            + [trow(o) for o in range(-kk, 0)]
+            + [pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
+                            memory_space=pltpu.VMEM)]
+            + [trow(bi + o) for o in range(kk)]
+        )
 
-    def step2_padded_factory(bi_d):
-        """Padded double-step for the dist loop: every operand is padded
-        with bi_d rows per side (t: innermost TWO rows valid, ppermuted;
-        lrow/w2: innermost ONE row valid — the j=-1 / j=bi t' rows need
-        the NEIGHBOR shard's operators).  Pad width bi_d keeps the center
-        blocks aligned to bi_d-row block units; the outer pad rows are
-        zeros and never read.  Index maps are offset, not mod — the torus
-        wrap rides the ppermute like the other *_padded entry points."""
-        kw_d = dict(kw_step, bi=bi_d)
-
-        def call(lrow_p, wrow_p, tp):
-            exl = lrow_p.shape[0] - 2 * bi_d
-            lrow1 = lambda o: pl.BlockSpec(
-                (1, gb, gn, gn),
-                lambda i, c, o=o: (bi_d + i * bi_d + o, 0, 0, 0),
-                memory_space=pltpu.VMEM)
-            w1 = lambda o: pl.BlockSpec(
-                (1, L, 1), lambda i, c, o=o: (bi_d + i * bi_d + o, 0, 0),
-                memory_space=pltpu.VMEM)
-            trow = lambda o: pl.BlockSpec(
-                (L, ncol_blk), lambda i, c, o=o: (bi_d + i * bi_d + o, c),
-                memory_space=pltpu.VMEM)
+        def call(lrow, wrow, t):
             return pl.pallas_call(
-                functools.partial(_rowchain_step2_blocked_kernel, **kw_d),
-                out_shape=jax.ShapeDtypeStruct((exl * L, ncol), tp.dtype),
-                grid=(exl // bi_d, ncol // ncol_blk),
-                in_specs=[
-                    lrow1(-1),
-                    pl.BlockSpec((bi_d, gb, gn, gn),
-                                 lambda i, c: (i + 1, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    lrow1(bi_d),
-                    w1(-1),
-                    pl.BlockSpec((bi_d, L, 1), lambda i, c: (i + 1, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    w1(bi_d),
-                    trow(-2),
-                    trow(-1),
-                    pl.BlockSpec((bi_d * L, ncol_blk),
-                                 lambda i, c: (i + 1, c),
-                                 memory_space=pltpu.VMEM),
-                    trow(bi_d),
-                    trow(bi_d + 1),
-                ],
-                out_specs=pl.BlockSpec((bi_d * L, ncol_blk),
+                functools.partial(_rowchain_stepk_blocked_kernel, bi=bi,
+                                  k=kk, **kw_step),
+                out_shape=jax.ShapeDtypeStruct((ex * L, ncol), t.dtype),
+                grid=(ex // bi, ncol // ncol_blk),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((bi * L, ncol_blk),
                                        lambda i, c: (i, c),
                                        memory_space=pltpu.VMEM),
                 compiler_params=cparams,
                 interpret=interpret,
-            )(lrow_p, lrow_p, lrow_p, wrow_p, wrow_p, wrow_p,
-              tp, tp, tp, tp, tp)
+            )(*([lrow] * nl + [wrow] * nl + [t] * (2 * kk + 1)))
 
         return call
 
-    # temporal k=3 triple-step: 3 halo rows per side; live set ~(bi+6) t
-    # refs + (bi+4) operator blocks + out + ~6 intermediate rows
-    bi3_ok = step_budget_ok(3, bi, row_b)
-
-    def step3_t_blocked(lrow, wrow, t):
-        lrow1 = lambda o: pl.BlockSpec(
-            (1, gb, gn, gn), lambda i, c, o=o: ((i * bi + o) % ex, 0, 0, 0),
-            memory_space=pltpu.VMEM)
-        w1 = lambda o: pl.BlockSpec(
-            (1, L, 1), lambda i, c, o=o: ((i * bi + o) % ex, 0, 0),
-            memory_space=pltpu.VMEM)
-        trow = lambda o: pl.BlockSpec(
-            (L, ncol_blk), lambda i, c, o=o: ((i * bi + o) % ex, c),
-            memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            functools.partial(_rowchain_step3_blocked_kernel, bi=bi,
-                              **kw_step),
-            out_shape=jax.ShapeDtypeStruct((ex * L, ncol), t.dtype),
-            grid=(ex // bi, ncol // ncol_blk),
-            in_specs=[
-                lrow1(-2), lrow1(-1),
-                pl.BlockSpec((bi, gb, gn, gn), lambda i, c: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                lrow1(bi), lrow1(bi + 1),
-                w1(-2), w1(-1),
-                pl.BlockSpec((bi, L, 1), lambda i, c: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                w1(bi), w1(bi + 1),
-                trow(-3), trow(-2), trow(-1),
-                pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
-                             memory_space=pltpu.VMEM),
-                trow(bi), trow(bi + 1), trow(bi + 2),
-            ],
-            out_specs=pl.BlockSpec((bi * L, ncol_blk), lambda i, c: (i, c),
-                                   memory_space=pltpu.VMEM),
-            compiler_params=cparams,
-            interpret=interpret,
-        )(lrow, lrow, lrow, lrow, lrow, wrow, wrow, wrow, wrow, wrow,
-          t, t, t, t, t, t, t)
-
-    def step3_padded_factory(bi_d):
-        """Padded triple-step for the dist loop: t padded with
-        P = bi_d*ceil(3/bi_d) rows per side (innermost THREE valid,
-        ppermuted), lrow/w2 padded likewise with the innermost TWO rows
-        valid (the j in {-2,-1} / {bi, bi+1} t'/t'' rows need the
-        neighbor shard's operators).  P keeps the center blocks aligned
-        to bi_d-row block units; outer pad rows are zeros, never read."""
-        kw_d = dict(kw_step, bi=bi_d)
-        pn = -(-3 // bi_d)  # pad blocks per side
+    def stepk_padded_factory(kk, bi_d):
+        """Padded k-step for the dist loop: t padded with
+        P = bi_d·ceil(kk/bi_d) rows per side (innermost kk valid,
+        ppermuted), lrow/w2 padded likewise with the innermost kk-1 rows
+        valid (the halo-level intermediate rows need the NEIGHBOR shard's
+        operators).  P keeps the center blocks aligned to bi_d-row block
+        units; the outer pad rows are zeros and never read.  Index maps
+        are offset, not mod — the torus wrap rides the ppermute like the
+        other *_padded entry points."""
+        kw_d = dict(kw_step, bi=bi_d, k=kk)
+        nl = 2 * (kk - 1) + 1
+        pn = -(-kk // bi_d)  # pad blocks per side
         P = pn * bi_d
 
         def call(lrow_p, wrow_p, tp):
@@ -901,45 +730,65 @@ def _rowchain_calls(cfg, precision, interpret, precomposed=False):
             cblk = lambda shp: pl.BlockSpec(
                 shp, lambda i, c: ((i + pn,) + (0,) * (len(shp) - 1)),
                 memory_space=pltpu.VMEM)
+            in_specs = (
+                [lrow1(o) for o in range(-(kk - 1), 0)]
+                + [cblk((bi_d, gb, gn, gn))]
+                + [lrow1(bi_d + o) for o in range(kk - 1)]
+                + [w1(o) for o in range(-(kk - 1), 0)]
+                + [cblk((bi_d, L, 1))]
+                + [w1(bi_d + o) for o in range(kk - 1)]
+                + [trow(o) for o in range(-kk, 0)]
+                + [pl.BlockSpec((bi_d * L, ncol_blk),
+                                lambda i, c: (i + pn, c),
+                                memory_space=pltpu.VMEM)]
+                + [trow(bi_d + o) for o in range(kk)]
+            )
             return pl.pallas_call(
-                functools.partial(_rowchain_step3_blocked_kernel, **kw_d),
+                functools.partial(_rowchain_stepk_blocked_kernel, **kw_d),
                 out_shape=jax.ShapeDtypeStruct((exl * L, ncol), tp.dtype),
                 grid=(exl // bi_d, ncol // ncol_blk),
-                in_specs=[
-                    lrow1(-2), lrow1(-1), cblk((bi_d, gb, gn, gn)),
-                    lrow1(bi_d), lrow1(bi_d + 1),
-                    w1(-2), w1(-1), cblk((bi_d, L, 1)),
-                    w1(bi_d), w1(bi_d + 1),
-                    trow(-3), trow(-2), trow(-1),
-                    pl.BlockSpec((bi_d * L, ncol_blk),
-                                 lambda i, c: (i + pn, c),
-                                 memory_space=pltpu.VMEM),
-                    trow(bi_d), trow(bi_d + 1), trow(bi_d + 2),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec((bi_d * L, ncol_blk),
                                        lambda i, c: (i, c),
                                        memory_space=pltpu.VMEM),
                 compiler_params=cparams,
                 interpret=interpret,
-            )(lrow_p, lrow_p, lrow_p, lrow_p, lrow_p,
-              wrow_p, wrow_p, wrow_p, wrow_p, wrow_p,
-              tp, tp, tp, tp, tp, tp, tp)
+            )(*([lrow_p] * nl + [wrow_p] * nl + [tp] * (2 * kk + 1)))
 
         return call
 
+    # temporal k-step deepenings: k halo rows per side; each depth's live
+    # set ((bi+2k) t refs + (bi+2(k-1)) operator blocks + out + ~3 rows
+    # per intermediate level) is gated by the shared budget predicate.
+    # Depth k trades DMA (t-halo amortization) for MXU (halo-level
+    # recompute: (k+1)(bi+k)/2 fused applies per k·bi row-steps — 8 vs 7
+    # applies/step at k=4 vs 3, bi=5), so k=4 pays ONLY where the apply
+    # is cheap — the precomposed-A² bf16x3 form (measured production:
+    # sq_x3 925→879 µs/step, but sq 'highest' 1206→1474 REGRESSION);
+    # every other form caps at k=3.
+    kmax = (ROWCHAIN_KMAX if precomposed and precision == "bf16x3"
+            else min(ROWCHAIN_KMAX, 3))
+    steps_k = {1: stepk_blocked(1) if bi > 1 else step_t}
+    for kk in range(2, kmax + 1):
+        if step_budget_ok(kk, bi, row_b):
+            steps_k[kk] = stepk_blocked(kk)
+
     calls = {
         "bridge_in": bridge_in,
-        "step_t": step_t_blocked if bi > 1 else step_t,
-        "step2_t": step2_t_blocked if bi2_ok else None,
-        "step3_t": step3_t_blocked if bi3_ok else None,
+        "step_t": steps_k[1],
+        "step2_t": steps_k.get(2),
+        "step3_t": steps_k.get(3),
+        "steps_k": steps_k,
         "bridge_out": bridge_out,
         "step_t_padded": step_t_padded,
         "bridge_out_padded": bridge_out_padded,
-        "step2_padded_factory": step2_padded_factory,
-        "step3_padded_factory": step3_padded_factory,
+        "step2_padded_factory": functools.partial(stepk_padded_factory, 2),
+        "step3_padded_factory": functools.partial(stepk_padded_factory, 3),
+        "stepk_padded_factory": stepk_padded_factory,
         "step_t_unblocked": step_t,
         "bi": bi,
         "ncol_blk": ncol_blk,
+        "kmax": kmax,
     }
     return calls, (ex, ey, g, gb, gn, L, ncol, ncol0)
 
@@ -955,8 +804,7 @@ def _rowchain_forms(cfg, precision: str, precomposed: bool = False):
     calls, geom = _rowchain_calls(cfg, precision, interpret, precomposed)
     bridge_in, step_t, bridge_out = (
         calls["bridge_in"], calls["step_t"], calls["bridge_out"])
-    step2_t = calls["step2_t"]
-    step3_t = calls["step3_t"]
+    steps_k = calls["steps_k"]
     _, _, _, gb, gn, L, ncol, _ = geom
 
     def _build(data):
@@ -994,16 +842,14 @@ def _rowchain_forms(cfg, precision: str, precomposed: bool = False):
         lstep = precompose_operator(lrow) if precomposed else lrow
         t = bridge_in(lrow, _q2(data.qtens))
         nt = max(n - 1, 0)
-        if step3_t is not None and nt >= 3:
-            t, _ = jax.lax.scan(
-                lambda tt, _: (step3_t(lstep, w2, tt), None), t, None,
-                length=nt // 3)
-            nt %= 3
-        if step2_t is not None and nt >= 2:
-            t, _ = jax.lax.scan(
-                lambda tt, _: (step2_t(lstep, w2, tt), None), t, None,
-                length=nt // 2)
-            nt %= 2
+        # deepest available temporal block first, remainders with the
+        # shallower depths (each depth is a distinct compiled kernel)
+        for kk in sorted((k for k in steps_k if k > 1), reverse=True):
+            if nt >= kk:
+                t, _ = jax.lax.scan(
+                    lambda tt, _, s=steps_k[kk]: (s(lstep, w2, tt), None),
+                    t, None, length=nt // kk)
+                nt %= kk
         if nt:
             t, _ = jax.lax.scan(
                 lambda tt, _: (step_t(lstep, w2, tt), None), t, None,
@@ -1048,7 +894,9 @@ def make_dss2d_rowchain_x3(cfg):
     "half the per-step MXU passes.  Roofline: the blocked k=3 step's "
     "measured 1196 us/step ~ 750 us DMA bound + 485 us x3-MXU with no "
     "overlap; A² puts the MXU half at 243 us ('highest' here: 970 -> "
-    "485 us)",
+    "485 us).  Caps at the k=3 temporal block: the deeper k=4's halo "
+    "recompute regresses the MXU-heavier 'highest' apply (measured "
+    "1206 -> 1474 us/step at production)",
 )
 def make_dss2d_rowchain_sq(cfg):
     return _rowchain_forms(cfg, "highest", precomposed=True)
@@ -1059,7 +907,8 @@ def make_dss2d_rowchain_sq(cfg):
     "fused_operator_rowchain_sq_x3",
     "precomposed-A² rowchain with 3-pass bf16 f32-emulation dots (see "
     "fused_operator_rowchain_sq; the production MXU floor halves to "
-    "~243 us/step)",
+    "~243 us/step).  Production champion: 878.9 us/step verified with "
+    "the k=4 temporal block (was 925.2 at k=3, 1540 pre-A²)",
     supports_f64=False,
     verify_tol=5e-5,  # bf16x3 compounding over the chained applications
 )

@@ -12,7 +12,18 @@ nedges·nadv·nvert — this is also the production-scale winner.
 
 Exact same arithmetic as the reference per (edge, i) term; sums accumulate
 in slot order i = 0..nadv-1 like the Fortran inner loop
-(nested.F90:533-552), so f64 parity holds at errTol."""
+(nested.F90:533-552), so f64 parity holds at errTol.
+
+Production floor (round 4): production scale (nedges=256000, ncells=28000)
+is exactly 10× the shipped gather work — 2.56 M row-picks of 512 B
+(lane-padded nvert=100→128 f32 rows) = 1.31 GB gathered per step — and
+measures 7443.5 µs vs shipped 739.2 µs: 10.07× the time for 10.00× the
+work, i.e. the same 176 GB/s XLA row-gather issue rate (2.9 ns/slot-row)
+within 0.7%.  The shipped-scale floor closure (three measured
+alternatives: selfold dead heat, Pallas scalar gather 35 ns/edge,
+lane-axis gather 4.4 ns/slot-row — round4-summary §2) therefore transfers
+1:1 to production: the leg is gather-issue-rate-bound at every scale, not
+bound by any per-call overhead that more scale could amortize."""
 
 from __future__ import annotations
 
