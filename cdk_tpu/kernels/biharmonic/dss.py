@@ -187,10 +187,11 @@ def _fused_dss_forms(cfg, precision):
     rr = cfg.np_dtype(cfg.rrearth)
     npg = cfg.np_gll
     if cfg.dtype == "float64":
-        # an explicit precision on a f64 einsum forces XLA:TPU's bf16
-        # MXU emulation (~1e-9 rel err); None lets it lower to the true
-        # f64 software path (~1e-15 — measured on chip,
-        # results/tpu-v5e/f64-on-chip-round4.txt)
+        # precision=None alone is NOT enough: in the composed step XLA:TPU
+        # still picked the ~6e-9 bf16-emulated MXU path for the second
+        # apply (measured, f64-on-chip-round4.txt) — apply_operator now
+        # takes a no-dot exact-f64 VPU path at this dtype; None here just
+        # avoids requesting an MXU precision that can never apply
         precision = None
 
     def _build(data):

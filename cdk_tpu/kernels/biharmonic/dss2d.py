@@ -169,9 +169,11 @@ def _fused_dss2d_forms(cfg, precision):
     npg = cfg.np_gll
     ex, ey = torus_shape(cfg.nelemd)
     if cfg.dtype == "float64":
-        # explicit einsum precision at f64 forces XLA:TPU's bf16 MXU
-        # emulation (~1e-9); None lowers to the true f64 path (~1e-15
-        # measured — results/tpu-v5e/f64-on-chip-round4.txt)
+        # precision=None alone is NOT enough: in the composed step XLA:TPU
+        # still picked the ~6e-9 bf16-emulated MXU path for the second
+        # apply (measured, f64-on-chip-round4.txt) — apply_operator now
+        # takes a no-dot exact-f64 VPU path at this dtype; None here just
+        # avoids requesting an MXU precision that can never apply
         precision = None
 
     def _build(data):

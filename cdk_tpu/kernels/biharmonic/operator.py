@@ -82,7 +82,22 @@ def apply_operator(L: jnp.ndarray, q_lane: jnp.ndarray,
     Precision policy (measured on v5e at the shipped size): default bf16
     passes cost 8.9e-4 relative L2; "high" (bf16x3) 8.6e-6 — inside the
     5e-5 f32 verification gate at half the passes of "highest" (7.9e-8);
-    the bf16 variant opts down explicitly."""
+    the bf16 variant opts down explicitly.
+
+    f64 never touches a dot: XLA:TPU can silently select the ~6e-9
+    bf16-emulated MXU path for a dot inside a larger composition even
+    with precision=None (measured on chip: the fused DSS step's first
+    apply lands at 1e-15 but its second at 6.4e-9 — the SAME einsum;
+    results/tpu-v5e/f64-on-chip-round4.txt), so the f64 parity path is a
+    16-term FMA chain in a FIXED left-to-right order: f64 adds are never
+    reassociated by XLA, so TPU and the host oracle compute the
+    identical sequence (a reduce() lowered as a tree still differed
+    ~2.5e-13 between backends at this operator's dynamic range)."""
+    if q_lane.dtype == jnp.float64:
+        out = L[:, :, 0, None] * q_lane[:, None, 0, :]
+        for p in range(1, L.shape[2]):
+            out = out + L[:, :, p, None] * q_lane[:, None, p, :]
+        return out
     return jnp.einsum(
         "eop,epc->eoc", L, q_lane, preferred_element_type=q_lane.dtype,
         precision=precision,
@@ -218,6 +233,10 @@ def apply_operator_grouped(Lbd: jnp.ndarray, q_lane: jnp.ndarray,
     eg, gn, _ = Lbd.shape
     ncol = q_lane.shape[-1]
     qg = q_lane.reshape(eg, gn, ncol)
+    # (f64 on-chip parity routes through apply_operator's no-dot path;
+    # this grouped form's gn-wide blocks are an f32/bf16 MXU shape and a
+    # 128-term unrolled chain would be unreasonable — CPU f64 einsum is
+    # already exact)
     out = jnp.einsum("bop,bpc->boc", Lbd, qg,
                      preferred_element_type=q_lane.dtype,
                      precision=precision)

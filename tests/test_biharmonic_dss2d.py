@@ -274,6 +274,43 @@ def test_dss2d_rowchain_sq_matches_chained_reference(nelemd):
         assert rel_l2(np.asarray(loop(data, n)), np.asarray(q)) < 1e-13, n
 
 
+def test_dss2d_rowchain_k4_gating_and_parity():
+    """The temporal k=4 deepening is admitted ONLY for the precomposed
+    bf16x3 form (measured round 4 at production: 925→879 µs/step there,
+    but 1206→1474 REGRESSION for the MXU-heavier 'highest' apply whose
+    halo-level recompute outweighs the DMA saving), and the k=4 blocked
+    kernel itself matches chained f32 reference steps at the bf16x3
+    tolerance."""
+    import dataclasses
+
+    from cdk_tpu.core.registry import _materialize, get
+    from cdk_tpu.kernels.biharmonic import pallas_dss2d_resident as pr
+
+    cfg = with_overrides(CFG, nlev=4, qsize=2, dtype="float32")
+    calls_x3sq, _ = pr._rowchain_calls(cfg, "bf16x3", True,
+                                       precomposed=True)
+    calls_hisq, _ = pr._rowchain_calls(cfg, "highest", True,
+                                       precomposed=True)
+    calls_x3, _ = pr._rowchain_calls(cfg, "bf16x3", True,
+                                     precomposed=False)
+    assert calls_x3sq["kmax"] == 4 and 4 in calls_x3sq["steps_k"]
+    assert calls_hisq["kmax"] == 3 and 4 not in calls_hisq["steps_k"]
+    assert calls_x3["kmax"] == 3 and 4 not in calls_x3["steps_k"]
+
+    data = problem.init_data(cfg)
+    ref_step, _, _ = _materialize(
+        get("biharmonic_dss2d", "reference_jnp"), cfg, data)
+    _, _, loop = _materialize(
+        get("biharmonic_dss2d", "fused_operator_rowchain_sq_x3"), cfg,
+        data)
+    n = 5  # nt=4 -> exactly one k=4 blocked call, no remainder
+    q = data.qtens
+    for _ in range(n):
+        q = ref_step((), dataclasses.replace(data, qtens=q))
+    e = rel_l2(np.asarray(loop(data, n)), np.asarray(q))
+    assert e < 5e-5, e
+
+
 def test_dss2d_variants_through_harness():
     from cdk_tpu.harness import driver
 
