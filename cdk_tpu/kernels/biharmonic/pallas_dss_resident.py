@@ -37,6 +37,7 @@ chain measures ~1e-6-grade L2 (see results/tpu-v5e/round2-summary.txt).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +58,14 @@ from cdk_tpu.kernels.biharmonic.problem import (
     to_lane_layout,
 )
 
-KMAX = 8  # steps per kernel call (halo elements per side = hg*g >= KMAX)
+# steps per kernel call (halo elements per side = hg*g >= KMAX)
+KMAX = int(os.environ.get("CDK_DSS_KMAX", "8"))
+
+# Requested scoped-VMEM limit and the geometry predicate budget (probe
+# hooks, same pattern as pallas_dss2d_resident: the predicate under-counts
+# Mosaic's real accounting by ~2.5-4x, so budget ~ limit/2.7)
+VMEM_LIMIT = int(os.environ.get("CDK_DSS_VMEM_MB", "64")) * 2**20
+GEOM_BUDGET = int(os.environ.get("CDK_DSS_BUDGET_MB", "24")) * 2**20
 
 
 def _shift_down(a, n):
@@ -170,7 +178,7 @@ def _pick_geometry(eg, gn, ncol, g, itemsize, ops_values=7):
     for cand in sorted({d for d in range(1, eg + 1) if eg % d == 0},
                        reverse=True):
         B = cand
-        if (4 * cand + ops_values * (cand + 2 * hg)) * blk <= 24 * 2**20:
+        if (4 * cand + ops_values * (cand + 2 * hg)) * blk <= GEOM_BUDGET:
             break
     return B, hg, _pick_ncol_blk(B + 2 * hg, gn, ncol, itemsize)
 
@@ -265,7 +273,7 @@ def apply_dss_resident(lbd, w2, qg, nsteps: int, *, g: int, npg: int,
         out_specs=pl.BlockSpec((B * gn, ncol_blk), lambda i, c: (i, c),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(*operands, ww, ql, q2, qr)
     return out.reshape(eg, gn, ncol)[:, :, :ncol0]
