@@ -58,14 +58,25 @@ from cdk_tpu.kernels.biharmonic.problem import (
     to_lane_layout,
 )
 
-# steps per kernel call (halo elements per side = hg*g >= KMAX)
-KMAX = int(os.environ.get("CDK_DSS_KMAX", "8"))
+# steps per kernel call (halo elements per side = hg*g >= KMAX).
+# Round-4 production sweep of the precomposed x3 champion (all legs
+# driver-verified in one window, results/tpu-v5e/dss1d-k16-20260820.txt):
+#   B=27/k=8 (round-3 geometry)  542.2 us/step
+#   B=45/k=8                     574.2   (bigger window alone LOSES)
+#   B=27/k=16                    518.7
+#   B=45/k=16                    485.6   (-10.4% -> the default)
+# k=16 halves the per-call field round trip AND cuts the bridge applies
+# (k+1)/k; the larger window only pays when k=16's halo (hg=2 groups per
+# side) raises the overcompute it amortizes.
+KMAX = int(os.environ.get("CDK_DSS_KMAX", "16"))
 
 # Requested scoped-VMEM limit and the geometry predicate budget (probe
 # hooks, same pattern as pallas_dss2d_resident: the predicate under-counts
-# Mosaic's real accounting by ~2.5-4x, so budget ~ limit/2.7)
-VMEM_LIMIT = int(os.environ.get("CDK_DSS_VMEM_MB", "64")) * 2**20
-GEOM_BUDGET = int(os.environ.get("CDK_DSS_BUDGET_MB", "24")) * 2**20
+# Mosaic's real accounting by ~2.5-4x, so budget ~ limit/2.7; the k=16/
+# B=45 geometry is a 40.7 MB predicate live set, measured to compile and
+# run at the 100 MB request)
+VMEM_LIMIT = int(os.environ.get("CDK_DSS_VMEM_MB", "100")) * 2**20
+GEOM_BUDGET = int(os.environ.get("CDK_DSS_BUDGET_MB", "42")) * 2**20
 
 
 def _shift_down(a, n):
@@ -360,8 +371,8 @@ def make_dss_bd8_resident_x3(cfg):
     "fused_operator_bd8_resident_sq",
     "d-carry resident DSS chain with the PRECOMPOSED squared operator: "
     "(A·DSS·A)^n = A·DSS·(A²·DSS)^(n-1)·A, so a k-step kernel call runs "
-    "k+1 bd8 applies instead of 2k (k=8: 1.78x less MXU work on the "
-    "compute-bound chain; 'highest' dots)",
+    "k+1 bd8 applies instead of 2k (k=16 default: 1.88x less MXU work "
+    "on the compute-bound chain; 'highest' dots)",
 )
 def make_dss_bd8_resident_sq(cfg):
     return _dss_resident_forms(cfg, "highest", precomposed=True)
