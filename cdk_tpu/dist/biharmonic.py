@@ -519,6 +519,11 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
     exl_rows = ex // nparts
     row_b = L * calls["ncol_blk"] * cfg.np_dtype(0).itemsize
     bi_d = 1
+    # dist bi_d caps at 8, NOT the single-chip BI_CAP=15: the padded form
+    # materializes a (exl + 2*bi_d)-row copy of t per exchange, so large
+    # blocks inflate that copy traffic — measured at production 1-dev:
+    # bi_d=15/k=3 921 us/step vs bi_d=5/k=4 885 (the mod-index wrap the
+    # big block amortizes on the single chip does not exist here)
     for cand in range(min(8, exl_rows), 1, -1):
         # same live-set budget as the single-chip per-depth gates (the
         # step window + operators, double-buffered, vs the requested

@@ -521,7 +521,7 @@ def _rowchain_stepk_blocked_kernel(*refs, precision, gb, gn, npg, bi, k,
 #   878.9 µs/step verified, vs 924.3 at k=3) — Mosaic's real accounting
 #   (double-buffered windows + per-level value stack) runs ~3-4.6× the
 #   predicate, which is what the 24 MB budget in step_budget_ok encodes.
-VMEM_LIMIT = int(os.environ.get("CDK_DSS2D_VMEM_MB", "100")) * 2**20
+VMEM_LIMIT = int(os.environ.get("CDK_DSS2D_VMEM_MB", "120")) * 2**20
 
 # Temporal-blocking request cap for the rowchain loop forms; each k is
 # still gated by step_budget_ok at the actual geometry.  Env overrides
@@ -541,14 +541,27 @@ def step_budget_ok(k: int, bi: int, row_b: int) -> bool:
     gate excludes it correctly.  Single source of truth shared by this
     kernel's per-depth gates and the dist loop's bi_d selection
     (dist/biharmonic.py) so the two cannot drift apart."""
-    return bi > 1 and (3 * bi + 6 * k) * row_b <= 24 * 2**20
+    return bi > 1 and (3 * bi + 6 * k) * row_b <= STEP_BUDGET
 
 
-def _pick_bi(ex, L, ncol_blk, itemsize, budget=24 * 2**20, cap=8):
+# Round-4 VMEM frontier at production (75x72, ncol_blk=128, all legs
+# driver-verified; results/tpu-v5e/dss2d-bi15-20260820.txt):
+#   bi=5 /k=4 @100 MB  878.9 us/step   (predicate 21.9 MB)
+#   bi=15/k=3 @120 MB  851.2           (35.4 MB)  <- production default
+#   bi=15/k=4 @120 MB  Mosaic helper crash (38.8 MB — past the frontier)
+# The 36 MB budget encodes that frontier: it admits k<=3 at bi=15 and
+# k<=4 at bi=5, and excludes exactly the geometries measured to crash.
+STEP_BUDGET = int(os.environ.get("CDK_DSS2D_BUDGET_MB", "36")) * 2**20
+BI_CAP = int(os.environ.get("CDK_DSS2D_BI_CAP", "15"))
+
+
+def _pick_bi(ex, L, ncol_blk, itemsize, budget=None, cap=None):
     """Largest divisor of ex (<= cap) whose blocked-step live set —
     (Bi+2) input rows + Bi output rows + Bi operator blocks + ~5 temp rows,
     all (L, ncol_blk), double-buffered windows included via the margin —
     fits the budget (vs the VMEM_LIMIT the kernel requests)."""
+    budget = STEP_BUDGET if budget is None else budget
+    cap = BI_CAP if cap is None else cap
     row = L * ncol_blk * itemsize
     for bi in range(cap, 1, -1):
         if ex % bi == 0 and (3 * bi + 7) * row <= budget:
@@ -907,8 +920,9 @@ def make_dss2d_rowchain_sq(cfg):
     "fused_operator_rowchain_sq_x3",
     "precomposed-A² rowchain with 3-pass bf16 f32-emulation dots (see "
     "fused_operator_rowchain_sq; the production MXU floor halves to "
-    "~243 us/step).  Production champion: 878.9 us/step verified with "
-    "the k=4 temporal block (was 925.2 at k=3, 1540 pre-A²)",
+    "~243 us/step).  Production champion: 851-867 us/step verified at "
+    "the bi=15/k=3 VMEM-frontier geometry (was 879 at bi=5/k=4, 925 at "
+    "bi=5/k=3, 1540 pre-A²)",
     supports_f64=False,
     verify_tol=5e-5,  # bf16x3 compounding over the chained applications
 )
