@@ -666,7 +666,15 @@ def _rowchain_calls(cfg, precision, interpret, precomposed=False):
 
     bi = _pick_bi(ex, L, ncol_blk, itemsize)
     row_b = L * ncol_blk * itemsize
-    cparams = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+    # Size the scoped-VMEM request to the geometry: only live sets past
+    # the old 24 MB predicate budget need the 120 MB unlock — a blanket
+    # 120 MB request costs ~7% at the shipped size (measured 15.9 vs
+    # 17.1 µs/step, sq_x3, iters=50), where Mosaic otherwise buffers
+    # more aggressively than the tiny problem wants.
+    need = (3 * bi + 6 * ROWCHAIN_KMAX) * row_b
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=(VMEM_LIMIT if need > 24 * 2**20
+                          else min(VMEM_LIMIT, 64 * 2**20)))
 
     def stepk_blocked(kk):
         """Temporal-k spatially-blocked step call: Bi owned rows per grid

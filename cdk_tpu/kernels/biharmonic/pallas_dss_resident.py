@@ -174,7 +174,7 @@ def _dss_resident_kernel(*refs, nsteps, precision, gn, hg_rows, npg,
     out_ref[...] = q2[hg_rows:rows - hg_rows]
 
 
-def _pick_geometry(eg, gn, ncol, g, itemsize, ops_values=7):
+def _pick_geometry(eg, gn, ncol, g, itemsize, ops_values=7, kmax=None):
     """-> (B center groups per window, hg halo groups per side, ncol
     block).  The kernel requests vmem_limit_bytes=VMEM_LIMIT (the 16 MB
     scoped-VMEM wall is a compiler default, not hardware — round-3
@@ -183,7 +183,7 @@ def _pick_geometry(eg, gn, ncol, g, itemsize, ops_values=7):
     window-sized values (ops x2, carry, shift temps), each gn x 128.
     Bigger B cuts the 2*hg/B halo overcompute the compute-bound chain
     pays directly (production: B=9 -> 27 drops it 1.22x -> 1.07x)."""
-    hg = -(-KMAX // g)
+    hg = -(-(KMAX if kmax is None else kmax) // g)
     blk = gn * 128 * itemsize
     B = 1
     for cand in sorted({d for d in range(1, eg + 1) if eg % d == 0},
@@ -212,12 +212,13 @@ def _pick_ncol_blk(w_groups, gn, ncol, itemsize):
 @functools.partial(
     jax.jit,
     static_argnames=("nsteps", "precision", "g", "npg", "interpret",
-                     "precomposed"),
+                     "precomposed", "kmax"),
 )
 def apply_dss_resident(lbd, w2, qg, nsteps: int, *, g: int, npg: int,
                        precision: str = "highest",
                        interpret: bool = False,
-                       precomposed: bool = False):
+                       precomposed: bool = False,
+                       kmax: int | None = None):
     """k chained DSS-biharmonic steps in-kernel.
 
     lbd: (eg, gn, gn) grouped operators; w2: (eg*gn, 1) inverse assembled
@@ -225,14 +226,16 @@ def apply_dss_resident(lbd, w2, qg, nsteps: int, *, g: int, npg: int,
     Returns qg after nsteps steps (exact on every element: the halo
     windows carry the ring's periodicity via mod-eg gather indices)."""
     eg, gn, ncol0 = qg.shape
-    assert nsteps <= KMAX
+    kmax = KMAX if kmax is None else kmax
+    assert nsteps <= kmax
     # pad the column batch to a lane-block multiple (zero columns are
     # fixed points of apply and DSS; sliced off at the end)
     ncol = -(-ncol0 // 128) * 128
     if ncol != ncol0:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, ncol - ncol0)))
     B, hg, ncol_blk = _pick_geometry(eg, gn, ncol, g, qg.dtype.itemsize,
-                                     ops_values=9 if precomposed else 7)
+                                     ops_values=9 if precomposed else 7,
+                                     kmax=kmax)
     nb = eg // B
     W = B + 2 * hg
 
@@ -290,6 +293,30 @@ def apply_dss_resident(lbd, w2, qg, nsteps: int, *, g: int, npg: int,
     return out.reshape(eg, gn, ncol)[:, :, :ncol0]
 
 
+def _pick_k(eg, gn, ncol, g, itemsize, precomposed):
+    """Model-choose the in-kernel chain depth among {8, KMAX}: effective
+    cost per owned-row-step = applies × window-overcompute + window DMA
+    priced at ~one apply-equivalent per window row.  Deeper k cuts the
+    bridge applies ((k+1)/k, precomposed) and halves the per-call field
+    round trip, but its larger hg = ceil(k/g) halo inflates overcompute —
+    ruinously on small rings (shipped eg=2: the k=16 window is 3 rings
+    wide).  Both regimes agree with the round-4 measurements: production
+    eg=675 picks k=16 (485 vs 574 µs/step measured) and the shipped eg=2
+    ring picks k=8 (10.7 vs 13.5 µs/step)."""
+    best_k, best_cost = None, None
+    for k in sorted({8, KMAX}):
+        hg = -(-k // g)
+        B, _, _ = _pick_geometry(eg, gn, ncol, g, itemsize,
+                                 ops_values=9 if precomposed else 7,
+                                 kmax=k)
+        w_over = (B + 2 * hg) / B
+        applies = (1 + 1 / k) if precomposed else 2.0
+        cost = applies * w_over + 2 * (B + 2 * hg) / (k * B)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
 def _dss_resident_forms(cfg, precision: str, precomposed: bool = False):
     rr = cfg.np_dtype(cfg.rrearth)
     g = 8
@@ -316,23 +343,28 @@ def _dss_resident_forms(cfg, precision: str, precomposed: bool = False):
     def _from_grouped(qg):
         return from_lane_layout(qg.reshape(cfg.nelemd, npts, ncol), cfg)
 
+    eg0 = cfg.nelemd // g
+    ncol_pad = -(-ncol // 128) * 128
+    k_pick = _pick_k(eg0, g * npts, ncol_pad, g,
+                     cfg.np_dtype(0).itemsize, precomposed)
+
     @jax.jit
     def step(aux, data: BiharmonicData) -> jnp.ndarray:
         lbd, w2 = aux
         qg = _to_grouped(data.qtens, lbd.shape[0])
         out = apply_dss_resident(lbd, w2, qg, 1, g=g, npg=npg,
                                  precision=precision, interpret=interpret,
-                                 precomposed=precomposed)
+                                 precomposed=precomposed, kmax=k_pick)
         return _from_grouped(out)
 
     @functools.partial(jax.jit, static_argnames="n")
     def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
         lbd, w2 = _build(data)
         qg = _to_grouped(data.qtens, lbd.shape[0])
-        k = min(KMAX, n)
+        k = min(k_pick, n)
         run_k = lambda q, steps: apply_dss_resident(
             lbd, w2, q, steps, g=g, npg=npg, precision=precision,
-            interpret=interpret, precomposed=precomposed)
+            interpret=interpret, precomposed=precomposed, kmax=k_pick)
         if n // k:
             qg, _ = jax.lax.scan(lambda q, _: (run_k(q, k), None), qg,
                                  None, length=n // k)
