@@ -253,3 +253,24 @@ def test_dss_resident_sq_matches_chained_reference(nelemd):
         for _ in range(n):
             q = ref_step((), dataclasses.replace(data, qtens=q))
         assert rel_l2(np.asarray(loop(data, n)), np.asarray(q)) < 1e-13, n
+
+
+def test_resident_pick_k_is_scale_aware():
+    """_pick_k's cost model must agree with the round-4 measurements at
+    both operating points: the production ring (eg=675) takes the deep
+    k=16 chain (measured 485 vs 574 µs/step), while the shipped eg=2
+    ring — where the k=16 window is three rings wide — stays at k=8
+    (measured 10.6 vs 13.4 µs/step after the regression this test
+    pins)."""
+    from cdk_tpu.kernels.biharmonic.pallas_dss_resident import (
+        KMAX,
+        _pick_k,
+    )
+
+    if KMAX < 16:  # probe env override active; the model has one choice
+        pytest.skip("CDK_DSS_KMAX < 16")
+    # production geometry: eg=675 groups of gn=128, ncol 768
+    assert _pick_k(675, 128, 768, 8, 4, True) == 16
+    # shipped geometry: eg=2, ncol 2880 -> 2944 padded
+    assert _pick_k(2, 128, 2944, 8, 4, True) == 8
+    assert _pick_k(2, 128, 2944, 8, 4, False) == 8
