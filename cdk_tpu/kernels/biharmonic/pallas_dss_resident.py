@@ -429,7 +429,7 @@ def make_dss_bd8_resident_sq_x3(cfg):
 def apply_dss_resident_windowed(lw, ww, q_ext, nsteps: int, *,
                                 b_groups: int, hg: int, gn: int, npg: int,
                                 precision: str = "highest",
-                                interpret: bool = False):
+                                interpret: bool = False, lw2=None):
     """Dist form of the resident chain: the caller supplies q_ext with hg
     EXCHANGED halo groups per side (ring ppermute across shards — the
     global periodicity lives there, not in gather indices) and
@@ -439,7 +439,12 @@ def apply_dss_resident_windowed(lw, ww, q_ext, nsteps: int, *,
     on block boundaries while the hg-group halo refs index in hg-units
     (requires hg | B).  Validity: nsteps <= hg * g elements of halo per
     side (g = gn / npg^2 elements per group).  Returns the owned
-    (eg_loc, gn, ncol)."""
+    (eg_loc, gn, ncol).
+
+    With `lw2` (the pre-windowed per-group squared operator A², same
+    shape as lw) the kernel runs the d-carry precomposed chain — nsteps+1
+    bd8 applies per call instead of 2·nsteps, the same algebra as the
+    single-chip `fused_operator_bd8_resident_sq*` champions."""
     egx, gn_, ncol0 = q_ext.shape
     eg = egx - 2 * hg
     B = b_groups
@@ -458,15 +463,26 @@ def apply_dss_resident_windowed(lw, ww, q_ext, nsteps: int, *,
     hspec = lambda off: pl.BlockSpec(
         (hg * gn, ncol_blk), lambda i, c, o=off: ((i + 1) * r + o, c),
         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, W, gn, gn), lambda i, c: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    precomposed = lw2 is not None
+    operands = (lw, lw2) if precomposed else (lw,)
+    # geometry-sized scoped-VMEM request (the dss2d discipline): small
+    # windows keep the 64 MB request, deep-window geometries get the
+    # measured VMEM_LIMIT unlock
+    blk = gn * 128 * q_ext.dtype.itemsize
+    need = (4 * B + (9 if precomposed else 7) * W) * blk
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=(VMEM_LIMIT if need > 24 * 2**20
+                          else min(VMEM_LIMIT, 64 * 2**20)))
     out = pl.pallas_call(
         functools.partial(_dss_resident_kernel, nsteps=nsteps,
                           precision=precision, gn=gn,
-                          hg_rows=hg * gn, npg=npg),
+                          hg_rows=hg * gn, npg=npg,
+                          precomposed=precomposed),
         out_shape=jax.ShapeDtypeStruct((eg * gn, ncol), q_ext.dtype),
         grid=(nb, ncol // ncol_blk),
-        in_specs=[
-            pl.BlockSpec((1, W, gn, gn), lambda i, c: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=[lspec] * len(operands) + [
             pl.BlockSpec((1, W * gn, 1), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             hspec(-1),                                       # left halo
@@ -477,6 +493,7 @@ def apply_dss_resident_windowed(lw, ww, q_ext, nsteps: int, *,
         out_specs=pl.BlockSpec((B * gn, ncol_blk),
                                lambda i, c: (i, c),
                                memory_space=pltpu.VMEM),
+        compiler_params=cparams,
         interpret=interpret,
-    )(lw, ww, q2, q2, q2)
+    )(*operands, ww, q2, q2, q2)
     return out.reshape(eg, gn, ncol)[:, :, :ncol0]

@@ -210,6 +210,25 @@ def dss_prod():
               f"us/step  {pts / 1e9:7.2f} G pts/s", flush=True)
 
 
+def dss_kstep():
+    """Production 1-D ring DSS: the communication-avoiding kstep dist
+    loop on a 1-device mesh, slope-timed (n multiples of kstep)."""
+    from cdk_tpu.core.config import production_config
+    from cdk_tpu.dist import biharmonic as dist_bi, mesh as meshmod
+    from cdk_tpu.kernels.biharmonic import problem
+
+    cfg = production_config("biharmonic_dss")
+    m = meshmod.make_mesh(1)
+    data = problem.init_data(cfg)
+    si, loop, _ = dist_bi.make_dist_loop_dss_kstep(cfg, m, kstep=8)
+    q, aux = si(data)
+    sec = _time_loop(lambda q, a, n: loop(q, a, n), (q, aux),
+                     n1=16, n2=48)
+    pts = cfg.grid_points / sec
+    print(f"[dist dss kstep=8 1dev] {sec * 1e6:9.2f} us/step  "
+          f"{pts / 1e9:7.2f} G pts/s", flush=True)
+
+
 def dss2d_dist():
     """Production 2-D torus DSS: the distributed rowchain loop on a
     1-device mesh, slope-timed — round 3 runs the blocked DOUBLE-step
@@ -256,6 +275,8 @@ def main(phase: str) -> int:
         dss()
     elif phase == "dss_prod":
         dss_prod()
+    elif phase == "dss_kstep":
+        dss_kstep()
     elif phase == "dss2d_dist":
         dss2d_dist()
     else:
