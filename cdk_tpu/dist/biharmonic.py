@@ -863,8 +863,14 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
             # A² likewise (the d-carry precomposition — k+1 bd8 applies
             # per kstep call instead of 2k, the single-chip sq champions'
             # algebra riding the same ring exchange)
+            # precision gated on dtype like dss.py/dss2d.py: an explicit
+            # MXU precision on an f64 einsum can route to the ~1e-9
+            # bf16-emulated path on TPU (f64-on-chip-round4.txt); at f64
+            # this loop only runs on CPU/interpret (Pallas f64 cannot
+            # lower on the real chip), where None stays exact
             lsq = jnp.einsum("bij,bjk->bik", lbd, lbd,
-                             precision="highest",
+                             precision=(None if lbd.dtype == jnp.float64
+                                        else "highest"),
                              preferred_element_type=lbd.dtype)
             lw = jnp.take(_exg(lbd), idx_w, axis=0).reshape(nb, W, gn, gn)
             lw2 = jnp.take(_exg(lsq), idx_w,

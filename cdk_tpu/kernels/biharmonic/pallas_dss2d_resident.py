@@ -532,14 +532,17 @@ ROWCHAIN_KMAX = int(os.environ.get("CDK_ROWCHAIN_KMAX", "4"))
 def step_budget_ok(k: int, bi: int, row_b: int) -> bool:
     """Live-set budget gate for the temporal k-step blocked rowchain:
     (bi+2k) input t rows + bi output rows + bi operator blocks + ~(6(k-1))
-    intermediate rows, all (L, ncol_blk) of row_b bytes, vs the requested
-    100 MB scoped-VMEM limit.  The 24 MB budget encodes the measured
+    intermediate rows, all (L, ncol_blk) of row_b bytes, admitted while
+    under STEP_BUDGET (default 36 MB) for kernels compiled at the
+    VMEM_LIMIT request (default 120 MB).  The budget encodes the measured
     ~3-4.6× gap between this predicate and Mosaic's real accounting
-    (double-buffered windows + per-level value stack): the production
-    k=4/bi=5 geometry (21.9 MB here) needs >64 MB requested and fits at
-    100 MB; k=5 (25.3 MB) would need more than the chip's 128 MB — the
-    gate excludes it correctly.  Single source of truth shared by this
-    kernel's per-depth gates and the dist loop's bi_d selection
+    (double-buffered windows + per-level value stack) against the round-4
+    VMEM frontier: it admits exactly the measured-feasible set (k<=3 at
+    bi=15 — 35.4 MB predicate, runs at the 120 MB request — and k<=4 at
+    bi=5 — 21.9 MB), and excludes the geometries measured to crash the
+    Mosaic compile helper (bi=15/k=4: 38.8 MB; see the STEP_BUDGET
+    comment below).  Single source of truth shared by this kernel's
+    per-depth gates and the dist loop's bi_d selection
     (dist/biharmonic.py) so the two cannot drift apart."""
     return bi > 1 and (3 * bi + 6 * k) * row_b <= STEP_BUDGET
 
@@ -666,15 +669,20 @@ def _rowchain_calls(cfg, precision, interpret, precomposed=False):
 
     bi = _pick_bi(ex, L, ncol_blk, itemsize)
     row_b = L * ncol_blk * itemsize
-    # Size the scoped-VMEM request to the geometry: only live sets past
-    # the old 24 MB predicate budget need the 120 MB unlock — a blanket
-    # 120 MB request costs ~7% at the shipped size (measured 15.9 vs
-    # 17.1 µs/step, sq_x3, iters=50), where Mosaic otherwise buffers
-    # more aggressively than the tiny problem wants.
-    need = (3 * bi + 6 * ROWCHAIN_KMAX) * row_b
-    cparams = pltpu.CompilerParams(
-        vmem_limit_bytes=(VMEM_LIMIT if need > 24 * 2**20
-                          else min(VMEM_LIMIT, 64 * 2**20)))
+
+    def _cparams_for(bi_, kk):
+        # Size the scoped-VMEM request to the geometry ACTUALLY compiled
+        # (bi_ owned rows, kk chained steps — dist callers pass bi_d<=8
+        # and per-precision kk, not the single-chip worst case): only
+        # live sets past the old 24 MB predicate budget need the 120 MB
+        # unlock — a blanket 120 MB request costs ~7% at the shipped
+        # size (measured 15.9 vs 17.1 µs/step, sq_x3, iters=50), where
+        # Mosaic otherwise buffers more aggressively than the tiny
+        # problem wants.
+        need = (3 * bi_ + 6 * kk) * row_b
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=(VMEM_LIMIT if need > 24 * 2**20
+                              else min(VMEM_LIMIT, 64 * 2**20)))
 
     def stepk_blocked(kk):
         """Temporal-k spatially-blocked step call: Bi owned rows per grid
@@ -682,6 +690,7 @@ def _rowchain_calls(cfg, precision, interpret, precomposed=False):
         separate one-row refs (mod-ex wrap in the index maps, like
         _mod_call).  Each kk is gated by step_budget_ok at the caller."""
         nl = 2 * (kk - 1) + 1
+        cparams = _cparams_for(bi, kk)
         lrow1 = lambda o: pl.BlockSpec(
             (1, gb, gn, gn), lambda i, c, o=o: ((i * bi + o) % ex, 0, 0, 0),
             memory_space=pltpu.VMEM)
@@ -733,6 +742,7 @@ def _rowchain_calls(cfg, precision, interpret, precomposed=False):
         other *_padded entry points."""
         kw_d = dict(kw_step, bi=bi_d, k=kk)
         nl = 2 * (kk - 1) + 1
+        cparams = _cparams_for(bi_d, kk)
         pn = -(-kk // bi_d)  # pad blocks per side
         P = pn * bi_d
 

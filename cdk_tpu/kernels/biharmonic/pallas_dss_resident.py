@@ -304,7 +304,9 @@ def _pick_k(eg, gn, ncol, g, itemsize, precomposed):
     eg=675 picks k=16 (485 vs 574 µs/step measured) and the shipped eg=2
     ring picks k=8 (10.7 vs 13.5 µs/step)."""
     best_k, best_cost = None, None
-    for k in sorted({8, KMAX}):
+    # candidates clamped to the KMAX probe cap: with CDK_DSS_KMAX below 8
+    # the model must not hand back a depth past the requested cap
+    for k in sorted({min(8, KMAX), KMAX}):
         hg = -(-k // g)
         B, _, _ = _pick_geometry(eg, gn, ncol, g, itemsize,
                                  ops_values=9 if precomposed else 7,

@@ -408,6 +408,42 @@ def test_dss2d_dist_rowchain_kstep_matches_chained_reference(ndev, kstep, n):
     assert rel_l2(gather(loop(q2, aux, n)), np.asarray(q)) < 1e-13
 
 
+def test_dss2d_dist_rowchain_kk4_f32_matches_reference():
+    """The generic dist k-step path at kk=4 (stepk_padded_factory(4, bi_d),
+    reachable only by the bf16x3-precomposed f32 form — the f64 depth cap
+    is 3) == chained reference at the 5e-5 bf16x3 gate.  Guards the branch
+    that replaced the hand-written k=2/3 kernels and is otherwise
+    exercised only on the real TPU (ADVICE r4)."""
+    import dataclasses
+
+    from cdk_tpu.core.registry import _materialize, get
+    from cdk_tpu.kernels.biharmonic import pallas_dss2d_resident as pr
+
+    ndev, n = 2, 6  # nt = n-1 = 5 -> one kk=4 blocked call + 1 remainder
+    cfg = with_overrides(CFG, nelemd=32, nlev=4, qsize=2, dtype="float32")
+    # pin the preconditions that make the loop build AND use the kk=4
+    # padded call — if the geometry or gates drift, fail loudly instead
+    # of silently passing through shallower depths
+    calls, geom = pr._rowchain_calls(cfg, "bf16x3", True, precomposed=True)
+    ex, _, _, _, _, L, ncol, _ = geom
+    exl_rows = ex // ndev
+    assert calls["kmax"] >= 4 and exl_rows >= 4
+    row_b = L * calls["ncol_blk"] * cfg.np_dtype(0).itemsize
+    assert pr.step_budget_ok(4, 4, row_b)
+
+    data = problem.init_data(cfg)
+    ref_step, _, _ = _materialize(
+        get("biharmonic_dss2d", "reference_jnp"), cfg, data)
+    m = meshmod.make_mesh(ndev)
+    shard_inputs, loop, gather = dist_bi.make_dist_loop_dss2d_rowchain(
+        cfg, m)
+    q2, aux = shard_inputs(data)
+    q = data.qtens
+    for _ in range(n):
+        q = ref_step((), dataclasses.replace(data, qtens=q))
+    assert rel_l2(gather(loop(q2, aux, n)), np.asarray(q)) < 5e-5
+
+
 def test_dss2d_dist_rowchain_overlap_matches_serial_exactly():
     """Overlapped (full-batch-with-edge-patch) and serialized rowchain
     loops are the same arithmetic — bitwise-identical outputs."""
