@@ -36,6 +36,14 @@ The JSON line also carries:
                  E3SM scale"), slope-timed and VERIFIED; a failure here
                  sets RC!=0 like the shipped legs (pre-round-4 these
                  lived only in hand-run logs and could regress silently)
+  "dist"       — the distributed production paths on a 1-device mesh
+                 (dist DSS kstep ring, dist dss2d rowchain, dist mpdata
+                 loop, dist cke all_gather loop — harness/distbench.py),
+                 slope-timed and verified against the same-run production
+                 champions; failures set RC!=0 (pre-round-5 these lived
+                 only in hand-run probe logs)
+  per-leg "gpts_per_s" — grid-points/s, the BASELINE.json north-star
+                 metric (pts/step ÷ s/step)
 
 Exit status: non-zero if any exact (non-fast-math) variant fails
 verification or crashes — a regression turns the bench red instead of
@@ -76,9 +84,15 @@ BASELINES_PTS_S = {
 }
 BASELINE_KIND = {"biharmonic": "K20X", "mpdata": "K20X", "cke": "C++"}
 
-# production-scale champions (round-3 measured winners, results/tpu-v5e/
-# run-production-round3-20260819.txt); champions-only keeps the sweep
-# bounded — the full-variant production sweep stays a hand-run artifact
+# Production-scale champions (measured winners from the committed
+# results/tpu-v5e/ sweeps); champions-only keeps the sweep bounded — the
+# full-variant production sweep stays a hand-run artifact.
+# PROMOTION RULE: a variant is promoted here only after a hand-run
+# production sweep (scripts/dist_perf_probe.py or the driver at
+# production_config) shows it beating the incumbent by more than the
+# leg's recorded dispersion band in the same tunnel window, with the
+# measurement committed to results/tpu-v5e/ — the pin is deliberate so a
+# noise-level flip cannot silently change what the regression gate times.
 PRODUCTION_CHAMPIONS = {
     "biharmonic": "fused_operator_bd8_resident_x3",
     "biharmonic_dss": "fused_operator_bd8_resident_sq_x3",
@@ -95,18 +109,22 @@ def _geomean(xs):
     return g ** (1.0 / len(xs)) if xs else 0.0
 
 
-def _best(pool):
-    """Deterministic champion pick: 2% throughput buckets, then name —
-    variants measured identical within timing noise (gather_peradv vs
-    gather_selfold are a dead heat) keep a stable BENCH_r* row across
-    rounds instead of flip-flopping on the noise."""
+def _best(pool, pin=None):
+    """Deterministic champion pick: 2% throughput buckets, then the
+    PINNED production champion name, then name — variants measured
+    identical within timing noise (gather_peradv vs gather_selfold are a
+    dead heat) keep a stable BENCH_r* row across rounds instead of
+    flip-flopping on the noise, and a dead heat resolves to the SAME
+    name in the shipped and production sections (round-4 BENCH carried
+    gather_selfold in legs but gather_peradv in production for the same
+    kernel — two names for one champion)."""
     import math
 
     def key(r):
         gps = r.grid_points_per_s
         bucket = (int(math.log(gps) / math.log(1.02))
                   if gps > 0 else -(10 ** 9))
-        return (bucket, r.variant)
+        return (bucket, r.variant == pin, r.variant)
 
     return max(pool, key=key)
 
@@ -149,21 +167,41 @@ def main() -> int:
             try:
                 cfg = with_overrides(spec.default_config(), dtype="float32",
                                      device_init=True)
-                with _deadline(600):
-                    results = driver.run_kernel(kernel, cfg, iters=50,
-                                                trials=3, quiet=True,
-                                                min_delta=20e-3)
+                # shipped-size dss2d swings ±30% across tunnel windows for
+                # identical code (15.9-21.7 µs, round4-summary §12): take
+                # the MEDIAN of 3 independent measurement windows as the
+                # recorded value so back-to-back runs of identical code
+                # land inside each other's band (VERDICT r4 weak #5); the
+                # per-window values stay in the leg row
+                n_win = 3 if kernel == "biharmonic_dss2d" else 1
+                windows = []
+                for _ in range(n_win):
+                    with _deadline(600):
+                        results = driver.run_kernel(kernel, cfg, iters=50,
+                                                    trials=3, quiet=True,
+                                                    min_delta=20e-3)
+                    windows.append(results)
+                results = windows[0]
                 ok = [r for r in results if r.ok and not r.fast_math]
                 exact_failures += [
                     f"{kernel}:{r.variant}" for r in results
                     if not r.ok and not r.fast_math
                 ]
                 if ok:
-                    best = _best(ok)
+                    best = _best(ok, PRODUCTION_CHAMPIONS.get(kernel))
+                    win_us = sorted(
+                        next((r.seconds_per_call * 1e6 for r in w
+                              if r.variant == best.variant and r.ok),
+                             float("inf"))
+                        for w in windows)
+                    med_win = win_us[len(win_us) // 2]
                     legs[kernel] = {
                         "variant": best.variant,
-                        "us_per_step": round(
-                            best.seconds_per_call * 1e6, 3),
+                        "us_per_step": round(med_win, 3),
+                        "gpts_per_s": round(
+                            spec.grid_points(cfg) / (med_win * 1e-6), 0),
+                        **({"windows_us": [round(w, 3) for w in win_us]}
+                           if n_win > 1 else {}),
                         **_leg_band_us(best),
                     }
                     extra_lines.append(
@@ -211,13 +249,14 @@ def main() -> int:
             if not pool:
                 err(f"[bench] {kernel}: NO PASSING {tag.strip()} VARIANT")
                 continue
-            best = _best(pool)
+            best = _best(pool, PRODUCTION_CHAMPIONS.get(kernel))
             ratio = best.grid_points_per_s / base
             ratios.append(ratio)
             if tag == "exact":
                 legs[kernel] = {
                     "variant": best.variant,
                     "us_per_step": round(best.seconds_per_call * 1e6, 3),
+                    "gpts_per_s": round(best.grid_points_per_s, 0),
                     **_leg_band_us(best),
                 }
                 # ratio band endpoints from the slope dispersion: hi =
@@ -270,10 +309,46 @@ def main() -> int:
         production[kernel] = {
             "variant": champ,
             "us_per_step": round(r.seconds_per_call * 1e6, 2),
+            "gpts_per_s": round(r.grid_points_per_s, 0),
             **_leg_band_us(r),
         }
         err(f"[bench] production {kernel:<16s} {champ:<28s} "
-            f"{r.seconds_per_call * 1e6:9.2f} us/step")
+            f"{r.seconds_per_call * 1e6:9.2f} us/step "
+            f"{r.grid_points_per_s / 1e9:7.2f} G pts/s")
+
+    # ---- distributed production paths: 1-dev mesh, verified + gated ----
+    # (VERDICT r4 #2: pre-round-5 these lived only in hand-run probe logs
+    # and could silently regress with RC=0)
+    from cdk_tpu.harness.distbench import run_dist_legs
+
+    dist_rows = {}
+    try:
+        with _deadline(1800):
+            dlegs = run_dist_legs(PRODUCTION_CHAMPIONS, production=True,
+                                  trials=3, quiet=True)
+    except Exception as e:
+        err(f"[bench] dist: ERROR {type(e).__name__}: {e}")
+        exact_failures.append("dist:<all>")
+        dlegs = []
+    for d in dlegs:
+        if not d.ok:
+            err(f"[bench] dist {d.family}: {d.path} "
+                f"{'VERIFY FAILED err=%.3e' % d.err if d.note == ''
+                   else d.note}")
+            exact_failures.append(f"dist:{d.family}:{d.path}")
+            continue
+        dist_rows[d.family] = {
+            "path": d.path,
+            "us_per_step": round(d.seconds_per_call * 1e6, 2),
+            "gpts_per_s": round(d.grid_points_per_s, 0),
+            "min_us": round(d.slope_min * 1e6, 3),
+            "median_us": round(d.slope_median * 1e6, 3),
+            "max_us": round(d.slope_max * 1e6, 3),
+            "err": d.err,
+        }
+        err(f"[bench] dist       {d.family:<16s} {d.path:<28s} "
+            f"{d.seconds_per_call * 1e6:9.2f} us/step "
+            f"{d.grid_points_per_s / 1e9:7.2f} G pts/s")
 
     if exact_failures:
         err(f"[bench] FAILED exact variants: {', '.join(exact_failures)}")
@@ -291,6 +366,7 @@ def main() -> int:
         "band": {"lo": round(gm_lo, 3), "hi": round(gm_hi, 3)},
         "legs": legs,
         "production": production,
+        "dist": dist_rows,
     }))
     if not exact_ratios or exact_failures:
         return 1
