@@ -201,6 +201,9 @@ def main(argv=None) -> int:
                     nx_per_device=args.nx_per_device,
                     n_steps=args.steps, overlap=overlap,
                 )
+                scaling.weak_scaling_mpdata_slices(
+                    device_counts=devices, n_steps=args.steps,
+                )
                 if args.overlap_gain:
                     scaling.overlap_gain_mpdata(
                         n_devices=devices[-1],

@@ -517,6 +517,102 @@ def make_dist_step_overlap(cfg, mesh: Mesh, halo: int = HALO,
     return step
 
 
+def make_dist_loop_slices(cfg, mesh: Mesh):
+    """Slice-batch (data-parallel) distributed MPDATA — the scaling axis
+    the REFERENCE itself uses: its miniapp parallelizes by giving each
+    node its own slice batch (advect_scalar2D is embarrassingly parallel
+    over CRM columns; the per-node batch is the only scaling knob the
+    Fortran exposes — mmf-mpdata-tracer/README.md, nIters/nslices), and
+    the deferred MPI plan (nested_loops/README.md:27-35) never touches x.
+
+    TPU-native form: the PACKED slice-group axis (pallas_xmajor's leading
+    g axis, 16 slices per group) is sharded over the mesh; each shard
+    runs the unmodified single-chip champion kernel — in-kernel n-step
+    time loop, hoisted invariants, f VMEM-resident per block — on its
+    own groups.  There is NO exchange and NO collective at all: f, u, w,
+    rho, rhow, adz AND flux are all per-slice, so every output is
+    computed where it lives.  Weak scaling is exact by construction
+    (per-device work is independent of the mesh size); this is the
+    production scaling answer for MPDATA, with the x-decomposed forms
+    (make_dist_step / make_dist_loop) supplying the halo-exchange
+    capability for domains whose x extent outgrows a chip.
+
+    Returns (shard_inputs, loop, gather_f): loop(f_s, u_s, w_s, aux, n)
+    runs n steps under one jit; outputs stay sharded."""
+    from cdk_tpu.core.platform import pallas_interpret
+    from cdk_tpu.kernels.mpdata import pallas_xmajor as px
+    from cdk_tpu.kernels.mpdata.pallas_packed import _packed_kspan
+    from cdk_tpu.kernels.mpdata.pallas_xmajor import (
+        _run_xmajor,
+        pick_block_x,
+    )
+
+    interpret = pallas_interpret()
+    nzm, nz, nsl = cfg.nzm, cfg.nz, cfg.nslices
+    axis = mesh.axis_names[0]
+    nparts = mesh.devices.size
+    g = -(-nsl // px.GRP)
+    gp = -(-g // nparts) * nparts   # pad groups to the mesh size
+    g_loc = gp // nparts
+    spec4 = P(axis, None, None, None)
+    spec3 = P(axis, None, None)
+
+    def _padg(a, pad):
+        r = gp - a.shape[0]
+        if r == 0:
+            return a
+        return jnp.pad(a, ((0, r),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=pad)
+
+    def shard_inputs(data: MpdataData):
+        f_p, flux_p, aux = px.pack_data_x(data)
+        u_p, w_p, rho_p, rhow_p, adz_p = aux
+        put = lambda a, s: jax.device_put(
+            a, jax.sharding.NamedSharding(mesh, s))
+        f_s = put(_padg(f_p, 0.0), spec4)
+        u_s = put(_padg(u_p, 0.0), spec4)
+        w_s = put(_padg(w_p, 0.0), spec4)
+        aux_s = (
+            put(_padg(rho_p, 1.0), spec3),
+            put(_padg(rhow_p, 1.0), spec3),
+            put(_padg(adz_p, 1.0), spec3),
+            put(_padg(flux_p, 0.0), spec3),
+        )
+        return f_s, u_s, w_s, aux_s
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def loop(f_s, u_s, w_s, aux, n: int):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(spec4, spec4, spec4, (spec3, spec3, spec3, spec3)),
+            out_specs=(spec4, spec3),
+            check_vma=False,
+        )
+        def run(f_loc, u_loc, w_loc, aux):
+            rho, rhow, adz, flux = aux
+            kspan = _packed_kspan(nzm, f_loc.dtype)
+            return _run_xmajor(f_loc, u_loc, w_loc, rho, rhow, adz, flux,
+                               kspan, nzm, n, pick_block_x(g_loc),
+                               interpret)
+
+        return run(f_s, u_s, w_s, aux)
+
+    def gather_f(f_s):
+        from cdk_tpu.dist.mesh import to_host_global
+
+        f_h = jnp.asarray(to_host_global(f_s))
+        return np.asarray(px.unpack3x(f_h, nsl, nzm))
+
+    def gather_flux(flux_s):
+        from cdk_tpu.dist.mesh import to_host_global
+
+        fx = jnp.asarray(to_host_global(flux_s))
+        return np.asarray(px.unpack2x(fx, nsl, nz))
+
+    return shard_inputs, loop, (gather_f, gather_flux)
+
+
 def _make_dist_kloop(cfg, mesh: Mesh, kstep: int, kernel: str | None):
     """Communication-avoiding dist loop (see make_dist_loop docstring).
     x-major only: the deep-halo window rides the same masked-global
@@ -590,7 +686,8 @@ def _make_dist_kloop(cfg, mesh: Mesh, kstep: int, kernel: str | None):
 
 
 def make_dist_loop(cfg, mesh: Mesh, halo: int = HALO, overlap: bool = False,
-                   kernel: str | None = None, kstep: int = 1):
+                   kernel: str | None = None, kstep: int = 1,
+                   unroll: int = 1):
     """n-step distributed integration under ONE jit: `lax.scan` over the
     halo-exchange step, so the whole multi-step run (exchanges included)
     compiles to a single device-side loop — the production integration
@@ -626,7 +723,8 @@ def make_dist_loop(cfg, mesh: Mesh, halo: int = HALO, overlap: bool = False,
     if kstep > 1:
         return _make_dist_kloop(cfg, mesh, kstep, kernel)
     if not overlap:
-        return _make_dist_loop_hoisted(cfg, mesh, halo, kernel)
+        return _make_dist_loop_hoisted(cfg, mesh, halo, kernel,
+                                       unroll=unroll)
     step = make_dist_step_overlap(cfg, mesh, halo, kernel=kernel)
 
     @functools.partial(jax.jit, static_argnames="n")
@@ -645,7 +743,8 @@ def make_dist_loop(cfg, mesh: Mesh, halo: int = HALO, overlap: bool = False,
     return loop
 
 
-def _make_dist_loop_hoisted(cfg, mesh: Mesh, halo: int, kernel: str | None):
+def _make_dist_loop_hoisted(cfg, mesh: Mesh, halo: int, kernel: str | None,
+                            unroll: int = 1):
     """Serialized dist loop with the step-invariant u/w halo exchange
     hoisted out of the scan (see make_dist_loop docstring).  Each scan
     iteration exchanges only f, then runs the same masked kernel as
@@ -714,7 +813,8 @@ def _make_dist_loop_hoisted(cfg, mesh: Mesh, halo: int, kernel: str | None):
                     return (f_o, lax.psum(flux_p, axis)), None
 
             (f_o, flux), _ = lax.scan(
-                body, (f_loc, flux_in[:, :nzm]), None, length=n
+                body, (f_loc, flux_in[:, :nzm]), None, length=n,
+                unroll=unroll,
             )
             flux_out = jnp.concatenate([flux, flux_in[:, nzm:]], axis=-1)
             return f_o, flux_out

@@ -98,6 +98,66 @@ def weak_scaling_mpdata(
     return points
 
 
+def weak_scaling_mpdata_slices(
+    device_counts=(1, 2, 4, 8),
+    nslices_per_device: int = 16,
+    nx: int = 64,
+    nz: int = 58,
+    dtype: str = "float32",
+    n_steps: int = 20,
+    quiet: bool = False,
+) -> list[ScalePoint]:
+    """Weak scaling along the SLICE-BATCH axis — the reference's own
+    scaling knob (each node its own slice batch): grow nslices with the
+    device count and run the zero-exchange data-parallel loop
+    (dist.mpdata.make_dist_loop_slices).  Efficiency is exact by
+    construction up to compiler/runtime variation; this is the
+    production scaling axis, with the x-decomposed sweep above
+    exercising the halo-exchange capability."""
+    say = (lambda *a: None) if quiet else print
+    points: list[ScalePoint] = []
+    base_pts_per_dev = None
+    for n in device_counts:
+        if n > len(jax.devices()):
+            say(f" weak-scaling: skipping n={n} (only "
+                f"{len(jax.devices())} devices)")
+            continue
+        cfg = with_overrides(
+            MpdataConfig(), nx=nx, nslices=nslices_per_device * n, nz=nz,
+            dtype=dtype,
+        )
+        m = meshmod.make_mesh(n)
+        from cdk_tpu.kernels.mpdata import problem
+
+        si, loop, _ = dist_mpdata.make_dist_loop_slices(cfg, m)
+        args = si(problem.init_data(cfg))
+
+        def run(nsteps):
+            fetch_sync(loop(*args, nsteps))
+
+        run(n_steps)
+        import time
+
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(n_steps)
+            best = min(best, time.perf_counter() - t0)
+        sec = best / n_steps
+        pts = cfg.grid_points / sec
+        per_dev = pts / n
+        if base_pts_per_dev is None:
+            base_pts_per_dev = per_dev
+        eff = per_dev / base_pts_per_dev
+        points.append(ScalePoint(n, cfg.nx, sec, pts, eff))
+        say(
+            f" weak-scaling mpdata-slices n={n:<2d} "
+            f"nslices={cfg.nslices:<5d} {sec * 1e6:9.2f} us/step "
+            f"{pts / 1e6:10.1f} M pts/s eff={eff * 100:5.1f}%"
+        )
+    return points
+
+
 def overlap_gain_mpdata(
     n_devices: int = 8,
     nx_per_device: int = 64,

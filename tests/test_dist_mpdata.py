@@ -234,3 +234,30 @@ def test_dist_kloop_rejects_bad_geometry():
     m = meshmod.make_mesh(4)  # chunk = ceil(22/4) = 6 < 3*4
     with pytest.raises(ValueError):
         dist_mpdata.make_dist_loop(cfg, m, kernel="xmajor", kstep=4)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_dist_slices_matches_single_chip_bitwise(ndev):
+    """Slice-batch (data-parallel) dist loop == the single-chip champion
+    loop: sharding the packed group axis only splits the Pallas grid —
+    every shard runs the identical kernel on identical slice data, with
+    no exchange and no collective (the reference's own scaling axis,
+    mmf-mpdata README per-node slice batch).  Tolerance, not bitwise:
+    the per-shard block shape differs from the single-chip one and the
+    CPU interpret path contracts FMAs shape-dependently (measured ~2e-6
+    max abs at ndev=8)."""
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(MpdataConfig(), nslices=48, nx=16, nz=12,
+                         dtype="float32")
+    data = problem.init_data(cfg)
+    m = meshmod.make_mesh(ndev)
+    si, loop, (gather_f, gather_flux) = dist_mpdata.make_dist_loop_slices(
+        cfg, m)
+    f_s, u_s, w_s, aux = si(data)
+    f_d, flux_d = loop(f_s, u_s, w_s, aux, 3)
+
+    _, _, vloop = _materialize(get("mpdata", "pallas_xmajor"), cfg, data)
+    f_r, flux_r = vloop(data, 3)
+    assert rel_l1(gather_f(f_d), np.asarray(f_r)) < 1e-5
+    assert rel_l1(gather_flux(flux_d), np.asarray(flux_r)) < 1e-5
