@@ -145,6 +145,132 @@ def opcount(production=True):
     return arith * scale
 
 
+def distcount(halo=3):
+    """Counted op stream of the DIST per-step masked kernel body — the
+    exact program masked_step_xmajor_split runs per scan iteration in the
+    hoisted dist loop (pallas_masked.py:349-364): the collocated masked-
+    global stage chain (advect_scalar2d_masked_packed) on the halo-
+    extended window, plus the in-kernel gi/owned mask construction.
+    Prints the arith/movement counts, the ratio to the single-chip
+    champion's counted stream (opcount — same methodology), and the
+    per-step mandatory HBM traffic of the per-step-exchange form (f
+    in+out, u_ext/w_ext re-streamed per call, halo strips) — the inputs
+    to the dist mpdata additive floor model (VERDICT r4 #1)."""
+    from cdk_tpu.core.config import production_config
+    from cdk_tpu.dist.mpdata import advect_scalar2d_masked  # noqa: F401
+    from cdk_tpu.kernels.mpdata.pallas_masked import (
+        advect_scalar2d_masked_packed,
+    )
+    from cdk_tpu.kernels.mpdata.pallas_packed import SEG, _packed_kspan
+    from cdk_tpu.kernels.mpdata.pallas_xmajor import GRP, pick_block_x
+
+    cfg = production_config("mpdata")
+    nzm, nx, nsl = cfg.nzm, cfg.nx, cfg.nslices
+    g = -(-nsl // GRP)
+    b = pick_block_x(g)
+    dt = jnp.float32
+    chunk = nx + 6          # 1-dev shard = whole collocated grid
+    X = chunk + 2 * halo    # extended window the masked core computes
+    f = jnp.zeros((b, X, 8, 2 * SEG), dt)
+    rho = jnp.ones((b, 8, 2 * SEG), dt)
+    kspan = _packed_kspan(nzm, dt)
+
+    def body(f, u, w, rho, rhow, adz, kspan):
+        li = jax.lax.broadcasted_iota(jnp.int32, (X, 1), 0)
+        gi = li + (-2 - halo)           # gi0 at the 1-dev shard
+        owned = (li >= halo) & (li < X - halo)
+        return advect_scalar2d_masked_packed(
+            f, u, w, rho, rhow, adz, gi, owned, nx, kspan, nzm)
+
+    jx = jax.make_jaxpr(body)(f, f, f, rho, rho, rho, kspan)
+    counts = count_ops(jx.jaxpr)
+    arith = sum(v for k, v in counts.items() if k in ARITH)
+    move = sum(v for k, v in counts.items() if k in MOVE_FREE)
+    scale = g / b
+    print(f"dist masked step (X={X} window, chunk={chunk}, halo={halo}):")
+    print(f"  per-step VPU element-ops (arith+select): {arith * scale:.3e}")
+    print(f"  per-step movement element-ops:           {move * scale:.3e}")
+    champ = opcount(True)
+    print(f"  masked/champion arith ratio: {arith * scale / champ:.3f}")
+    # mandatory per-step HBM traffic of the per-step-exchange dist form
+    # (the split kernel reads f_loc + both strips + u_ext + w_ext and
+    # writes f_out; u/w cannot stay VMEM-resident across scan iterations
+    # — each pallas_call streams its operands)
+    eb = 4  # f32
+    row = g * 8 * 2 * SEG * eb          # one x column, all slices
+    f_rt = (chunk + 2 * halo) * row + chunk * row   # read ext, write owned
+    uw = 2 * (chunk + 2 * halo) * row
+    print(f"  per-step HBM: f round trip {f_rt / 1e6:.1f} MB + "
+          f"u/w streams {uw / 1e6:.1f} MB = {(f_rt + uw) / 1e6:.1f} MB "
+          f"-> {(f_rt + uw) / 570e9 * 1e6:.0f} us at 570 GB/s")
+    top = sorted(((v, k) for k, v in counts.items() if k in ARITH),
+                 reverse=True)[:8]
+    print("  top arith primitives (per step):")
+    for v, k in top:
+        print(f"      {k:<22s} {v * scale:.3e}")
+    return arith * scale
+
+
+def kloopcount():
+    """Counted per-step op stream of the comm-avoiding kloop
+    (masked_kloop_xmajor) at each depth k: the hoisted masked step
+    (advect_masked_hoisted — invariants AND gi-masks precomputed) on the
+    deep-halo window X = chunk + 6k, plus make_masked_invariants
+    amortized over k steps.  Predicts per-step time by pricing the
+    stream at the champion's measured issue rate (2.367e9 ops -> 612 us)
+    — the same rate transfer used by the distcount model."""
+    from cdk_tpu.core.config import production_config
+    from cdk_tpu.kernels.mpdata.pallas_masked import (
+        advect_masked_hoisted,
+        make_masked_invariants,
+    )
+    from cdk_tpu.kernels.mpdata.pallas_packed import SEG, _packed_kspan
+    from cdk_tpu.kernels.mpdata.pallas_xmajor import GRP, pick_block_x
+
+    cfg = production_config("mpdata")
+    nzm, nx, nsl = cfg.nzm, cfg.nx, cfg.nslices
+    g = -(-nsl // GRP)
+    b = pick_block_x(g)
+    dt = jnp.float32
+    chunk = nx + 6
+    champ_ops, champ_us = 2.367e9, 612.0
+    scale = g / b
+    print(f"kloop model (chunk={chunk}, champion {champ_ops:.3g} ops @ "
+          f"{champ_us:.0f} us):")
+    for k in (1, 2, 4, 8):
+        X = chunk + 2 * 3 * k
+        f = jnp.zeros((b, X, 8, 2 * SEG), dt)
+        rho = jnp.ones((b, 8, 2 * SEG), dt)
+        kspan = _packed_kspan(nzm, dt)
+        li = jax.lax.broadcasted_iota(jnp.int32, (X, 1), 0)
+        gim = jnp.reshape(li - 5, (1, X, 1, 1))
+        ownedm = jnp.reshape((li >= 3) & (li < X - 3), (1, X, 1, 1))
+
+        inv_jx = jax.make_jaxpr(
+            lambda u, w, r1, r2, r3, ks: make_masked_invariants(
+                u, w, r1, r2, r3, ks, gim, ownedm, nx, nzm)
+        )(f, f, rho, rho, rho, kspan)
+        inv_ops = sum(v for kk, v in count_ops(inv_jx.jaxpr).items()
+                      if kk in ARITH)
+
+        inv = jax.eval_shape(
+            lambda u, w, r1, r2, r3, ks: make_masked_invariants(
+                u, w, r1, r2, r3, ks, gim, ownedm, nx, nzm),
+            f, f, rho, rho, rho, kspan)
+        inv_z = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), inv)
+        step_jx = jax.make_jaxpr(
+            lambda ff: advect_masked_hoisted(ff, None, inv_z, nx))(f)
+        step_ops = sum(v for kk, v in count_ops(step_jx.jaxpr).items()
+                       if kk in ARITH)
+
+        per_step = (step_ops + inv_ops / k) * scale
+        pred = per_step / champ_ops * champ_us
+        dma_mb = ((X + chunk) + 2 * X) * g * 8 * 2 * SEG * 4 / k / 1e6
+        print(f"  k={k}: X={X:<3d} step {step_ops * scale:.3e} + inv/k "
+              f"{inv_ops * scale / k:.3e} = {per_step:.3e} ops/step "
+              f"-> pred {pred:6.0f} us (DMA {dma_mb:5.0f} MB/step)")
+
+
 def vpurate():
     """Measured VPU elementwise issue rate on a VMEM-resident block.
 
@@ -276,6 +402,10 @@ if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "opcount"
     if what == "opcount":
         opcount("--shipped" not in sys.argv)
+    elif what == "distcount":
+        distcount()
+    elif what == "kloopcount":
+        kloopcount()
     elif what == "vpurate":
         vpurate()
     elif what == "vpumix":
