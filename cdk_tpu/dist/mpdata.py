@@ -613,12 +613,23 @@ def make_dist_loop_slices(cfg, mesh: Mesh):
     return shard_inputs, loop, (gather_f, gather_flux)
 
 
-def _make_dist_kloop(cfg, mesh: Mesh, kstep: int, kernel: str | None):
+def _make_dist_kloop(cfg, mesh: Mesh, kstep: int, kernel: str | None,
+                     split: bool = True, unroll: int = 1):
     """Communication-avoiding dist loop (see make_dist_loop docstring).
     x-major only: the deep-halo window rides the same masked-global
-    validity argument regardless of where the window is cut."""
+    validity argument regardless of where the window is cut.
+
+    split=True (default) assembles the deep f halo IN-KERNEL
+    (masked_kloop_xmajor_split): the ppermuted strips enter the Pallas
+    call as separate refs and only owned columns are written back,
+    removing the per-call f_ext concat materialization and owned-slice
+    copy (measured ~90 us/step at production k=4).  split=False keeps
+    the concat-window form for A/B."""
     from cdk_tpu.core.platform import pallas_interpret
-    from cdk_tpu.kernels.mpdata.pallas_masked import masked_kloop_xmajor
+    from cdk_tpu.kernels.mpdata.pallas_masked import (
+        masked_kloop_xmajor,
+        masked_kloop_xmajor_split,
+    )
     from cdk_tpu.kernels.mpdata import pallas_xmajor as px
 
     kernel = _resolve_kernel(cfg, kernel)
@@ -662,20 +673,33 @@ def _make_dist_kloop(cfg, mesh: Mesh, kstep: int, kernel: str | None):
             u_ext = _exchange(u_loc, h, axis, nparts)
             w_ext = _exchange(w_loc, h, axis, nparts)
 
-            def body(carry, _):
-                f_l, _ = carry
-                f_ext = _exchange(f_l, h, axis, nparts)
-                f_o_ext, flux_p = masked_kloop_xmajor(
-                    f_ext, u_ext, w_ext, rho, rhow, adz, gi0,
-                    nx=nx, nzm=nzm, owned_lo=h, owned_hi=h + chunk,
-                    nsteps=kstep, interpret=interpret,
-                )
-                f_o = f_o_ext[:, h:h + chunk]
-                flux = lax.psum(px.unpack2x(flux_p, nsl, nzm), axis)
-                return (f_o, flux), None
+            if split:
+                def body(carry, _):
+                    f_l, _ = carry
+                    lh, rh = _exchange_strips(f_l, h, axis, nparts)
+                    f_o, flux_p = masked_kloop_xmajor_split(
+                        f_l, lh, rh, u_ext, w_ext, rho, rhow, adz, gi0,
+                        nx=nx, nzm=nzm, halo=h, nsteps=kstep,
+                        interpret=interpret,
+                    )
+                    flux = lax.psum(px.unpack2x(flux_p, nsl, nzm), axis)
+                    return (f_o, flux), None
+            else:
+                def body(carry, _):
+                    f_l, _ = carry
+                    f_ext = _exchange(f_l, h, axis, nparts)
+                    f_o_ext, flux_p = masked_kloop_xmajor(
+                        f_ext, u_ext, w_ext, rho, rhow, adz, gi0,
+                        nx=nx, nzm=nzm, owned_lo=h, owned_hi=h + chunk,
+                        nsteps=kstep, interpret=interpret,
+                    )
+                    f_o = f_o_ext[:, h:h + chunk]
+                    flux = lax.psum(px.unpack2x(flux_p, nsl, nzm), axis)
+                    return (f_o, flux), None
 
             (f_o, flux), _ = jax.lax.scan(
-                body, (f_loc, flux_in[:, :nzm]), None, length=n // kstep
+                body, (f_loc, flux_in[:, :nzm]), None, length=n // kstep,
+                unroll=unroll,
             )
             flux_out = jnp.concatenate([flux, flux_in[:, nzm:]], axis=-1)
             return f_o, flux_out
@@ -687,7 +711,7 @@ def _make_dist_kloop(cfg, mesh: Mesh, kstep: int, kernel: str | None):
 
 def make_dist_loop(cfg, mesh: Mesh, halo: int = HALO, overlap: bool = False,
                    kernel: str | None = None, kstep: int = 1,
-                   unroll: int = 1):
+                   unroll: int | None = None, split: bool = True):
     """n-step distributed integration under ONE jit: `lax.scan` over the
     halo-exchange step, so the whole multi-step run (exchanges included)
     compiles to a single device-side loop — the production integration
@@ -721,10 +745,17 @@ def make_dist_loop(cfg, mesh: Mesh, halo: int = HALO, overlap: bool = False,
     Bitwise-identical to the chained step: the same masked arithmetic
     sees the same assembled window (tested at 1e-15)."""
     if kstep > 1:
-        return _make_dist_kloop(cfg, mesh, kstep, kernel)
+        return _make_dist_kloop(cfg, mesh, kstep, kernel, split=split,
+                                unroll=unroll or 1)
     if not overlap:
+        # unroll=2 default: duplicating the scan body lets XLA overlap
+        # one step's inter-kernel glue (strip slicing, ppermute, flux
+        # unpack/psum) with the previous step's Pallas call — measured
+        # 1020 -> 887 us/step at production 1-dev, reproduced across two
+        # windows (round5 probe + paired A/B); unroll=4 gave it back
+        # (949).  The kloop keeps unroll=1 (measured ~neutral there).
         return _make_dist_loop_hoisted(cfg, mesh, halo, kernel,
-                                       unroll=unroll)
+                                       unroll=unroll or 2)
     step = make_dist_step_overlap(cfg, mesh, halo, kernel=kernel)
 
     @functools.partial(jax.jit, static_argnames="n")

@@ -42,7 +42,14 @@ class DistLegResult:
 
 def _slope_loop(run_n, n1: int, n2: int, trials: int = 3):
     """Two-point slope timing of run_n(n) (one-dispatch n-step device
-    loop, fetch-synced inside run_n) -> (best, median, max) s/step."""
+    loop, fetch-synced inside run_n) -> (min, median, max) s/step.
+
+    The recorded leg value is the MEDIAN: a stall during the n1 run
+    biases one slope LOW (observed: a sub-floor 246.8 us reading on a
+    614 us kernel, and a negative slope on a loaded CPU host), so a
+    min-of-trials value records artifacts.  If even the median is
+    non-positive (degenerate timing under extreme load), fall back to
+    the bulk rate of the longer run — an upper bound, but positive."""
     run_n(n1)  # compile + warm both step counts
     run_n(n2)
     slopes = []
@@ -54,7 +61,13 @@ def _slope_loop(run_n, n1: int, n2: int, trials: int = 3):
         t2 = time.perf_counter()
         slopes.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
     s = sorted(slopes)
-    return s[0], s[len(s) // 2], s[-1]
+    med = s[len(s) // 2]
+    if med <= 0:
+        t0 = time.perf_counter()
+        run_n(n2)
+        bulk = (time.perf_counter() - t0) / n2
+        return bulk, bulk, bulk
+    return s[0], med, s[-1]
 
 
 def _champion_loop(kernel: str, champ: str, cfg, data):
@@ -222,10 +235,10 @@ def run_dist_legs(champions: dict, production: bool = True,
             continue
         ok = bool(np.isfinite(err) and err < tol)
         results.append(DistLegResult(
-            family, path, lo, lo, med, hi,
-            spec.grid_points(cfg) / lo, err, tol, ok,
+            family, path, med, lo, med, hi,
+            spec.grid_points(cfg) / med, err, tol, ok,
         ))
-        say(f"[dist] {family:<16s} {path:<24s} {lo * 1e6:9.2f} us/step "
-            f"{spec.grid_points(cfg) / lo / 1e9:7.2f} G pts/s "
+        say(f"[dist] {family:<16s} {path:<24s} {med * 1e6:9.2f} us/step "
+            f"{spec.grid_points(cfg) / med / 1e9:7.2f} G pts/s "
             f"err={err:.2e} (tol {tol:g}) {'ok' if ok else 'VERIFY FAILED'}")
     return results

@@ -593,6 +593,115 @@ def _kernel_xmajor_kloop(gi0_ref, kspan_ref, f_ref, u_ref, w_ref, rho_ref,
     flux_ref[...] = flux_o
 
 
+def _kloop_vmem_bytes(b, X, itemsize):
+    """Geometry-sized scoped-VMEM request for the k-loop kernels: ~16
+    live window arrays (f/u/w + carry + hoisted invariants + out) of
+    (b, X, 8, 2*SEG), x2.5 for double-buffering + Mosaic's value stack.
+    A BLANKET 64 MB request measured a ~60% regression at production
+    (concat kloop k=4: 843 -> 1390 us/step, round-5 A/B) — like dss2d's
+    blanket-120MB finding, an oversized limit makes Mosaic buffer past
+    what the problem wants; the 16 MB floor keeps the production
+    geometry at the default that measured best, while wide-nx deep
+    halos (nx=128/k=8: X=182 needs 16.9M — compile-helper exit 1 at the
+    16 MB default) get exactly the unlock they need."""
+    est = 16 * b * X * 8 * 2 * SEG * itemsize
+    return min(100 * 2**20, max(16 * 2**20, int(2.5 * est)))
+
+
+def _kernel_xmajor_kloop_split(gi0_ref, kspan_ref, fl_ref, f_ref, fr_ref,
+                               u_ref, w_ref, rho_ref, rhow_ref, adz_ref,
+                               fout_ref, flux_ref, *, nx, halo, nzm,
+                               nsteps):
+    h = halo
+    f_full = jnp.concatenate([fl_ref[...], f_ref[...], fr_ref[...]],
+                             axis=1)
+    X = f_full.shape[1]
+    li = jax.lax.broadcasted_iota(jnp.int32, (X, 1), 0)
+    gi = gi0_ref[0, 0] + li
+    owned = (li >= h) & (li < X - h)
+    nd = f_full.ndim
+    gim = jnp.reshape(gi, (1, X) + (1,) * (nd - 2))
+    ownedm = jnp.reshape(owned, (1, X) + (1,) * (nd - 2))
+    inv = make_masked_invariants(u_ref[...], w_ref[...], rho_ref[...],
+                                 rhow_ref[...], adz_ref[...],
+                                 kspan_ref[...], gim, ownedm, nx, nzm)
+
+    def body(_, carry):
+        f_c, flux_c = carry
+        return advect_masked_hoisted(f_c, flux_c, inv, nx)
+
+    flux0 = jnp.zeros_like(f_full[:, 0])
+    f_o, flux_o = jax.lax.fori_loop(0, nsteps, body, (f_full, flux0))
+    fout_ref[...] = f_o[:, h:X - h]
+    flux_ref[...] = flux_o
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "nzm", "halo", "nsteps", "block", "interpret"),
+)
+def masked_kloop_xmajor_split(f_loc, f_left, f_right, u_ext, w_ext, rho,
+                              rhow, adz, gi0, *, nx, nzm, halo, nsteps,
+                              block=None, interpret=False):
+    """K masked-global steps INSIDE one x-major Pallas kernel with
+    IN-KERNEL deep-halo assembly: the owned f chunk and the two
+    ppermuted halo strips (halo = 3*nsteps columns each) enter as
+    separate refs, are concatenated in VMEM, iterated K steps with
+    hoisted invariants, and only the owned columns are written back.
+
+    Versus masked_kloop_xmajor on a pre-concatenated window this removes
+    the per-call f_ext materialization (~130 MB at production k=4) and
+    the owned-slice copy (~80 MB) — measured worth ~90 us/step at k=4,
+    ~160 at k=2 (round-5 probe log).  u_ext/w_ext arrive already
+    extended (step-invariant, exchanged once per RUN).  Same validity
+    argument as masked_kloop_xmajor: each application shrinks the valid
+    window by the stencil depth (3 columns) per side, so after K steps
+    the owned chunk is exact.
+
+    gi0 = global Fortran index of the FIRST HALO column.  Returns
+    (f_out (G, chunk, 8, 2*SEG) — owned columns only — and the last
+    step's flux partial (G, 8, 2*SEG))."""
+    from cdk_tpu.kernels.mpdata.pallas_packed import _packed_kspan
+    from cdk_tpu.kernels.mpdata.pallas_xmajor import pick_block_x
+
+    g, chunk, _, _ = f_loc.shape
+    assert f_left.shape[1] == halo and f_right.shape[1] == halo
+    assert u_ext.shape[1] == chunk + 2 * halo
+    b = block or pick_block_x(g)
+    b = min(b, g)
+    assert g % b == 0
+    kspan = _packed_kspan(nzm, f_loc.dtype)
+    gi0_arr = jnp.reshape(jnp.asarray(gi0, jnp.int32), (1, 1))
+    blk4 = lambda a: pl.BlockSpec((b, a.shape[1], 8, 2 * SEG),
+                                  lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    blk3 = pl.BlockSpec((b, 8, 2 * SEG), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_xmajor_kloop_split, nx=nx, halo=halo,
+                          nzm=nzm, nsteps=nsteps),
+        out_shape=(
+            jax.ShapeDtypeStruct(f_loc.shape, f_loc.dtype),
+            jax.ShapeDtypeStruct((g, 8, 2 * SEG), f_loc.dtype),
+        ),
+        grid=(g // b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2 * SEG), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            blk4(f_left), blk4(f_loc), blk4(f_right),
+            blk4(u_ext), blk4(w_ext), blk3, blk3, blk3,
+        ],
+        out_specs=(blk4(f_loc), blk3),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_kloop_vmem_bytes(b, chunk + 2 * halo,
+                                               f_loc.dtype.itemsize)),
+        interpret=interpret,
+    )(gi0_arr, kspan, f_left, f_loc, f_right, u_ext, w_ext, rho, rhow,
+      adz)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nx", "nzm", "owned_lo", "owned_hi", "nsteps",
@@ -611,13 +720,13 @@ def masked_kloop_xmajor(f, u, w, rho, rhow, adz, gi0, *, nx, nzm,
     Returns (f_out extended — only [owned_lo, owned_hi) meaningful after
     K steps — and the LAST step's flux partial (G, 8, 2*SEG)).
 
-    Measured (v5e, production size, 1-device mesh): k=4 -> 1398 us/step,
-    k=8 -> 1784 us/step vs 1168 us/step for the per-step x-major form —
-    at 1 device the deep halo is pure overcompute (~+2*depth*k columns),
-    so this form only pays off multi-chip when per-step exchange latency
-    exceeds that overcompute.  k=16's window exceeds the 16 MB scoped-
-    vmem limit at the default block (measured 16.14M) — pass a smaller
-    `block` or raise --xla_tpu_scoped_vmem_limit_kib for deeper k."""
+    Round-2 measured (v5e, production, 1-dev mesh): k=4 1398, k=8
+    1784 us/step vs 1168 for the per-step form.  Round-5 re-measured at
+    current defaults (hoisted in-kernel loop, raised VMEM): k=4 842.7 —
+    the regression inverted; see masked_kloop_xmajor_split (in-kernel
+    halo assembly), which this concat-window form is kept to A/B
+    against.  Deep windows ride a 64 MB scoped-vmem request (nx=128/k=8
+    X=182 crashed the compile helper at the 16 MB default)."""
     from cdk_tpu.kernels.mpdata.pallas_packed import _packed_kspan
     from cdk_tpu.kernels.mpdata.pallas_xmajor import pick_block_x
 
@@ -635,6 +744,9 @@ def masked_kloop_xmajor(f, u, w, rho, rhow, adz, gi0, *, nx, nzm,
     return pl.pallas_call(
         functools.partial(_kernel_xmajor_kloop, nx=nx, owned_lo=owned_lo,
                           owned_hi=owned_hi, nzm=nzm, nsteps=nsteps),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_kloop_vmem_bytes(b, f.shape[1],
+                                               f.dtype.itemsize)),
         out_shape=(
             jax.ShapeDtypeStruct(f.shape, f.dtype),
             jax.ShapeDtypeStruct((g, 8, 2 * SEG), f.dtype),

@@ -261,3 +261,21 @@ def test_dist_slices_matches_single_chip_bitwise(ndev):
     f_r, flux_r = vloop(data, 3)
     assert rel_l1(gather_f(f_d), np.asarray(f_r)) < 1e-5
     assert rel_l1(gather_flux(flux_d), np.asarray(flux_r)) < 1e-5
+
+
+def test_dist_loop_unroll_matches_unrolled_1():
+    """The promoted unroll=2 hoisted loop == unroll=1 bitwise on a
+    multi-device mesh: scan unrolling duplicates the body without
+    changing its arithmetic or exchange pattern."""
+    cfg = with_overrides(MpdataConfig(), nslices=8, nx=32, nz=12,
+                         dtype="float32")
+    data = problem.init_data(cfg)
+    m = meshmod.make_mesh(4)
+    si, _, gather_f = dist_mpdata.make_dist_step(cfg, m, kernel="xmajor")
+    args = si(data)
+    loop1 = dist_mpdata.make_dist_loop(cfg, m, kernel="xmajor", unroll=1)
+    loop2 = dist_mpdata.make_dist_loop(cfg, m, kernel="xmajor")  # def. 2
+    f1, fx1 = loop1(*args, 5)   # odd n: exercises the unroll remainder
+    f2, fx2 = loop2(*args, 5)
+    np.testing.assert_array_equal(gather_f(f1), gather_f(f2))
+    np.testing.assert_array_equal(np.asarray(fx1), np.asarray(fx2))
