@@ -36,6 +36,9 @@ from cdk_tpu.kernels.mpdata.pallas_packed import (
     _kcp,
     _shl,
 )
+from cdk_tpu.kernels.mpdata.pallas_xmajor import (
+    window_vmem_bytes as _kloop_vmem_bytes,
+)
 
 
 def _kernel(gi0_ref, kspan_ref, f_ref, u_ref, w_ref, rho_ref, rhow_ref,
@@ -342,6 +345,9 @@ def masked_step_xmajor(f, u, w, rho, rhow, adz, gi0, *, nx, nzm,
             blk4(f), blk4(u), blk4(w), blk3, blk3, blk3,
         ],
         out_specs=(blk4(f), blk3),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_kloop_vmem_bytes(b, f.shape[1],
+                                               f.dtype.itemsize)),
         interpret=interpret,
     )(gi0_arr, kspan, f, u, w, rho, rhow, adz)
 
@@ -417,6 +423,9 @@ def masked_step_xmajor_split(f_loc, f_left, f_right, u_ext, w_ext, rho,
             blk4(u_ext), blk4(w_ext), blk3, blk3, blk3,
         ],
         out_specs=(blk4(f_loc), blk3),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_kloop_vmem_bytes(
+                b, chunk + 2 * halo, f_loc.dtype.itemsize)),
         interpret=interpret,
     )(gi0_arr, kspan, f_left, f_loc, f_right, u_ext, w_ext, rho, rhow, adz)
 
@@ -591,21 +600,6 @@ def _kernel_xmajor_kloop(gi0_ref, kspan_ref, f_ref, u_ref, w_ref, rho_ref,
     f_o, flux_o = jax.lax.fori_loop(0, nsteps, body, (f0, flux0))
     fout_ref[...] = f_o
     flux_ref[...] = flux_o
-
-
-def _kloop_vmem_bytes(b, X, itemsize):
-    """Geometry-sized scoped-VMEM request for the k-loop kernels: ~16
-    live window arrays (f/u/w + carry + hoisted invariants + out) of
-    (b, X, 8, 2*SEG), x2.5 for double-buffering + Mosaic's value stack.
-    A BLANKET 64 MB request measured a ~60% regression at production
-    (concat kloop k=4: 843 -> 1390 us/step, round-5 A/B) — like dss2d's
-    blanket-120MB finding, an oversized limit makes Mosaic buffer past
-    what the problem wants; the 16 MB floor keeps the production
-    geometry at the default that measured best, while wide-nx deep
-    halos (nx=128/k=8: X=182 needs 16.9M — compile-helper exit 1 at the
-    16 MB default) get exactly the unlock they need."""
-    est = 16 * b * X * 8 * 2 * SEG * itemsize
-    return min(100 * 2**20, max(16 * 2**20, int(2.5 * est)))
 
 
 def _kernel_xmajor_kloop_split(gi0_ref, kspan_ref, fl_ref, f_ref, fr_ref,

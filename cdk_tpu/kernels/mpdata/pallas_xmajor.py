@@ -49,6 +49,26 @@ from cdk_tpu.kernels.mpdata.pallas_resident import (
 GRP = 16  # slices per vreg tile: 8 sublanes x 2 lane segments
 
 
+def window_vmem_bytes(b, X, itemsize):
+    """Geometry-sized scoped-VMEM request for the x-major in-kernel-loop
+    kernels: ~16 live window arrays (f/u/w + carry + hoisted invariants
+    + out) of (b, X, 8, 2*SEG), x2.5 for double-buffering + Mosaic's
+    value stack.  The 16 MB floor keeps every production geometry at
+    the default that measured best (a blanket 64 MB request cost ~60%
+    on the dist kloop at production — round-5 A/B, the dss2d
+    blanket-120MB finding writ large); wide-x windows that crash the
+    compile helper at 16 MB (single-chip nx=256: X=262 needs 18.1M;
+    dist nx=128/k=8: X=182 needs 16.9M) get exactly the unlock they
+    need."""
+    est = int(2.5 * 16 * b * X * 8 * 2 * SEG * itemsize)
+    if est <= 24 * 2**20:
+        # near-default estimates keep the 16 MB default: every geometry
+        # that compiled there measured best there (shipped b=3 estimates
+        # 18.6M but has always fit and timed well at the default)
+        return 16 * 2**20
+    return min(100 * 2**20, est)
+
+
 def _pad_slices(a: jnp.ndarray, pad: float) -> jnp.ndarray:
     s = a.shape[0]
     r = (-s) % GRP
@@ -143,6 +163,9 @@ def _run_xmajor(f, u, w, rho, rhow, adz, flux, kspan, nzm, nsteps, block,
             blk4(f), blk4(u), blk4(w), blk3, blk3, blk3, blk3,
         ],
         out_specs=(blk4(f), blk3),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=window_vmem_bytes(b, f.shape[1],
+                                               f.dtype.itemsize)),
         interpret=interpret,
     )(kspan, f, u, w, rho, rhow, adz, flux)
 
