@@ -69,7 +69,6 @@ def main() -> int:
                 s = s + coef[:, i:i + 1] * jnp.take(t, idx[:, i], axis=0)
             return s
 
-        @jax.jit
         def loop(t, idx, coef, n):
             def body(carry, _):
                 # t + carry: the table depends on the carry, so the
