@@ -772,7 +772,7 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
         build_element_operator,
     )
     from cdk_tpu.kernels.biharmonic.pallas_dss_resident import (
-        apply_dss_resident_windowed,
+        apply_dss_resident_windowed_split,
     )
 
     # (validity is kstep <= hg*g with hg = ceil(kstep/g), which holds by
@@ -824,6 +824,10 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
     perm_fwd = [(i, (i + 1) % nparts) for i in range(nparts)]
     perm_bwd = [(i, (i - 1) % nparts) for i in range(nparts)]
 
+    # travel lane-padded: the per-call jnp.pad of the whole field inside
+    # the windowed apply was ~90 us/call of pure copy at production
+    ncolp = -(-ncol // 128) * 128
+
     def shard_inputs(data: BiharmonicData):
         L = build_element_operator(
             data.dvv, data.dinv, data.spheremp, data.tensorvisc, rr
@@ -831,6 +835,7 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
         lbd = blockdiag_group_operator(L, g)
         w2 = dss_weights(data.spheremp).reshape(eg, gn, 1)
         q_g = to_lane_layout(data.qtens).reshape(eg, gn, ncol)
+        q_g = jnp.pad(q_g, ((0, 0), (0, 0), (0, ncolp - ncol)))
         return (
             jax.device_put(q_g, elem),
             (jax.device_put(lbd, elem), jax.device_put(w2, elem)),
@@ -878,14 +883,30 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
             ww = jnp.take(_exg(w2), idx_w, axis=0).reshape(nb, W * gn, 1)
 
             def body(q, _):
-                out = apply_dss_resident_windowed(
-                    lw, ww, _exg(q), kstep, b_groups=B, hg=hg, gn=gn,
-                    npg=npg, precision=precision, interpret=interpret,
-                    lw2=lw2,
+                # split-operand window assembly: the ppermuted neighbor
+                # strips + local block tails/heads form tiny per-window
+                # halo arrays, and the owned field IS the aligned center
+                # operand — no whole-field _exg concat or B-hg alignment
+                # pad per call (was ~1.0 GB HBM traffic/call ≈ the whole
+                # measured dist-vs-single gap; round5-summary §7)
+                left = lax.ppermute(q[-hg:], axis, perm_fwd)
+                right = lax.ppermute(q[:hg], axis, perm_bwd)
+                q_r = q.reshape(nb, B * gn, ncolp)
+                hl = jnp.concatenate(
+                    [left.reshape(1, hg * gn, ncolp),
+                     q_r[:-1, -hg * gn:]], axis=0)
+                hr = jnp.concatenate(
+                    [q_r[1:, :hg * gn],
+                     right.reshape(1, hg * gn, ncolp)], axis=0)
+                out = apply_dss_resident_windowed_split(
+                    lw, ww, q.reshape(eg_loc * gn, ncolp), hl, hr, kstep,
+                    b_groups=B, hg=hg, gn=gn, npg=npg,
+                    precision=precision, interpret=interpret, lw2=lw2,
                 )
-                return out, None
+                return out.reshape(eg_loc, gn, ncolp), None
 
-            q_out, _ = lax.scan(body, q_loc, None, length=n // kstep)
+            q_out, _ = lax.scan(body, q_loc, None, length=n // kstep,
+                                unroll=2)
             return q_out
 
         return run(q_s, aux)
@@ -899,7 +920,7 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
         # shards live on other processes' devices and a direct reshape/
         # fetch of the global array raises (dist.multiproc parity)
         q_lane = jnp.asarray(to_host_global(q_g)).reshape(
-            cfg.nelemd, npts, ncol)
+            cfg.nelemd, npts, ncolp)[:, :, :ncol]
         return np.asarray(jax.device_get(from_lane_layout(q_lane, cfg)))
 
     return shard_inputs, loop, gather

@@ -243,16 +243,23 @@ def _dss2d_resident_forms(cfg, precision: str):
     def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
         lbd, w2 = _build(data)
         qg = _to_grouped(data.qtens, lbd.shape[0])
+        # lane-pad ONCE outside the scan (the round-5 pad-hoist: carrying
+        # the unpadded layout made every chain call re-pad + slice the
+        # whole field — pallas_dss_resident.py loop, round5-summary §3
+        # revision); apply's own pad/slice are no-ops on the padded carry
+        ncolp = -(-ncol // 128) * 128
+        if ncolp != ncol:
+            qg = jnp.pad(qg, ((0, 0), (0, 0), (0, ncolp - ncol)))
         k = min(k_geom, n)
         run_k = lambda q, steps: apply_dss2d_resident(
             lbd, w2, q, steps, g=g, npg=npg, precision=precision,
             interpret=interpret)
         if n // k:
             qg, _ = jax.lax.scan(lambda q, _: (run_k(q, k), None), qg,
-                                 None, length=n // k)
+                                 None, length=n // k, unroll=2)
         if n % k:
             qg = run_k(qg, n % k)
-        return _from_grouped(qg)
+        return _from_grouped(qg[:, :, :ncol])
 
     return {"prepare": prepare, "step": step, "loop": loop}
 

@@ -97,7 +97,15 @@ def _dss_resident_kernel(*refs, nsteps, precision, gn, hg_rows, npg,
         l_ref, w_ref, ql_ref, qc_ref, qr_ref, out_ref = refs
         l2_ref = None
     W = l_ref.shape[1]
-    q2 = jnp.concatenate([ql_ref[...], qc_ref[...], qr_ref[...]], axis=0)
+
+    def _2d(a):
+        # split-operand callers (apply_dss_resident_windowed_split) hand
+        # the halo strips as (1, hg*gn, ncol_blk) blocks of a per-window
+        # strip array; the padded-window caller hands 2-D blocks
+        return a.reshape(a.shape[-2], a.shape[-1]) if a.ndim == 3 else a
+
+    q2 = jnp.concatenate([_2d(ql_ref[...]), qc_ref[...],
+                          _2d(qr_ref[...])], axis=0)
     rows = q2.shape[0]
     w2 = w_ref[0]
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
@@ -363,16 +371,25 @@ def _dss_resident_forms(cfg, precision: str, precomposed: bool = False):
     def loop(data: BiharmonicData, n: int) -> jnp.ndarray:
         lbd, w2 = _build(data)
         qg = _to_grouped(data.qtens, lbd.shape[0])
+        # lane-pad ONCE outside the scan: carrying the unpadded layout
+        # made every apply_dss_resident call re-pad the whole field and
+        # slice it back (~0.9 ms of pure copy per k=16 call at
+        # production, ~56 us/step) — the same per-call-materialization
+        # tax the round-5 dist kstep split removed (round5-summary §7).
+        # apply_dss_resident's own pad/slice are no-ops on the padded
+        # carry (ncol % 128 == 0 branch).
+        if ncol_pad != ncol:
+            qg = jnp.pad(qg, ((0, 0), (0, 0), (0, ncol_pad - ncol)))
         k = min(k_pick, n)
         run_k = lambda q, steps: apply_dss_resident(
             lbd, w2, q, steps, g=g, npg=npg, precision=precision,
             interpret=interpret, precomposed=precomposed, kmax=k_pick)
         if n // k:
             qg, _ = jax.lax.scan(lambda q, _: (run_k(q, k), None), qg,
-                                 None, length=n // k)
+                                 None, length=n // k, unroll=2)
         if n % k:
             qg = run_k(qg, n % k)
-        return _from_grouped(qg)
+        return _from_grouped(qg[:, :, :ncol])
 
     return {"prepare": prepare, "step": step, "loop": loop}
 
@@ -499,3 +516,68 @@ def apply_dss_resident_windowed(lw, ww, q_ext, nsteps: int, *,
         interpret=interpret,
     )(*operands, ww, q2, q2, q2)
     return out.reshape(eg, gn, ncol)[:, :, :ncol0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsteps", "b_groups", "hg", "gn", "npg", "precision",
+                     "interpret"),
+)
+def apply_dss_resident_windowed_split(lw, ww, q2, hl, hr, nsteps: int, *,
+                                      b_groups: int, hg: int, gn: int,
+                                      npg: int, precision: str = "highest",
+                                      interpret: bool = False, lw2=None):
+    """Split-operand form of apply_dss_resident_windowed: the owned field
+    q2 ((eg_loc*gn, ncol), ncol ALREADY lane-padded) is the center
+    operand — its B-group blocks are naturally aligned — and the
+    per-window halo strips arrive as small separate arrays
+    hl/hr (nb, hg*gn, ncol) built by the caller from the ppermuted
+    neighbor strips + the local block tails/heads.
+
+    This removes the padded-window form's per-call field materializations
+    (the _exg concat of the WHOLE field plus the B-hg alignment pad —
+    ~1.0 GB of HBM traffic per kstep call at production, ~110 us/step at
+    kstep=8, which was the entire measured dist-vs-single-chip gap on
+    the 1-D DSS kstep loop; round5-summary §7).  Same kernel, same
+    arithmetic: the in-kernel concat assembles the identical window."""
+    rows, ncol = q2.shape
+    B = b_groups
+    eg = rows // gn
+    assert B % hg == 0 and eg % B == 0 and ncol % 128 == 0
+    nb = eg // B
+    assert hl.shape == (nb, hg * gn, ncol) and hr.shape == hl.shape
+    W = B + 2 * hg
+    ncol_blk = _pick_ncol_blk(W, gn, ncol, q2.dtype.itemsize)
+    hspec = pl.BlockSpec((1, hg * gn, ncol_blk), lambda i, c: (i, 0, c),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, W, gn, gn), lambda i, c: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    precomposed = lw2 is not None
+    operands = (lw, lw2) if precomposed else (lw,)
+    blk = gn * 128 * q2.dtype.itemsize
+    need = (4 * B + (9 if precomposed else 7) * W) * blk
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=(VMEM_LIMIT if need > 24 * 2**20
+                          else min(VMEM_LIMIT, 64 * 2**20)))
+    out = pl.pallas_call(
+        functools.partial(_dss_resident_kernel, nsteps=nsteps,
+                          precision=precision, gn=gn,
+                          hg_rows=hg * gn, npg=npg,
+                          precomposed=precomposed),
+        out_shape=jax.ShapeDtypeStruct((rows, ncol), q2.dtype),
+        grid=(nb, ncol // ncol_blk),
+        in_specs=[lspec] * len(operands) + [
+            pl.BlockSpec((1, W * gn, 1), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            hspec,                                           # left halo
+            pl.BlockSpec((B * gn, ncol_blk), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),           # center
+            hspec,                                           # right halo
+        ],
+        out_specs=pl.BlockSpec((B * gn, ncol_blk),
+                               lambda i, c: (i, c),
+                               memory_space=pltpu.VMEM),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(*operands, ww, hl, q2, hr)
+    return out
