@@ -274,3 +274,47 @@ def test_resident_pick_k_is_scale_aware():
     # shipped geometry: eg=2, ncol 2880 -> 2944 padded
     assert _pick_k(2, 128, 2944, 8, 4, True) == 8
     assert _pick_k(2, 128, 2944, 8, 4, False) == 8
+
+
+def test_dss_resident_loop_carries_padded_no_per_call_pad():
+    """Round-5 pad-hoist guard: the chain loop's scan body must contain
+    NO pad primitive outside the Pallas kernel — carrying the unpadded
+    layout made every chain call re-pad + slice the whole field
+    (~55 us/step at production; round5-summary §3 revision).  Checks the
+    scanned jaxpr structurally so the tax cannot silently return."""
+    import functools
+
+    import jax
+
+    from cdk_tpu.core.registry import _materialize, get
+
+    cfg = with_overrides(BiharmonicConfig(), nelemd=16, nlev=4, qsize=2,
+                         dtype="float32")  # ncol=8 -> lane-pad to 128
+    data = problem.init_data(cfg)
+    _, _, vloop = _materialize(
+        get("biharmonic_dss", "fused_operator_bd8_resident_sq_x3"), cfg,
+        data)
+    jx = jax.make_jaxpr(functools.partial(vloop, n=32))(data)
+
+    def scan_bodies(jaxpr, out):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "scan":
+                out.append(eqn.params["jaxpr"].jaxpr)
+            for k, v in eqn.params.items():
+                if hasattr(v, "jaxpr") and k != "jaxpr":
+                    scan_bodies(v.jaxpr, out)
+                elif k == "jaxpr" and eqn.primitive.name != "scan":
+                    scan_bodies(v.jaxpr if hasattr(v, "jaxpr") else v,
+                                out)
+        return out
+
+    bodies = scan_bodies(jx.jaxpr, [])
+    assert bodies, "chain loop no longer scans — update this guard"
+    for body in bodies:
+        pads = [e for e in body.eqns
+                if e.primitive.name == "pad"
+                and any(v.aval.size >= cfg.nelemd * cfg.npts * cfg.ncol
+                        for v in e.outvars)]
+        assert not pads, (
+            "whole-field pad inside the scanned chain body — the "
+            f"round-5 pad-hoist regressed: {pads}")
