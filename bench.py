@@ -101,6 +101,11 @@ PRODUCTION_CHAMPIONS = {
     "cke": "gather_peradv",
 }
 
+# Legs whose shipped size swings across tunnel windows for identical code
+# (dss2d: ±30%, 15.9-21.7 µs — round4-summary §12) record the MEDIAN of
+# this many measurement windows; all other legs measure once.
+NOISY_LEG_WINDOWS = {"biharmonic_dss2d": 3}
+
 
 def _geomean(xs):
     g = 1.0
@@ -167,21 +172,10 @@ def main() -> int:
             try:
                 cfg = with_overrides(spec.default_config(), dtype="float32",
                                      device_init=True)
-                # shipped-size dss2d swings ±30% across tunnel windows for
-                # identical code (15.9-21.7 µs, round4-summary §12): take
-                # the MEDIAN of 3 independent measurement windows as the
-                # recorded value so back-to-back runs of identical code
-                # land inside each other's band (VERDICT r4 weak #5); the
-                # per-window values stay in the leg row
-                n_win = 3 if kernel == "biharmonic_dss2d" else 1
-                windows = []
-                for _ in range(n_win):
-                    with _deadline(600):
-                        results = driver.run_kernel(kernel, cfg, iters=50,
-                                                    trials=3, quiet=True,
-                                                    min_delta=20e-3)
-                    windows.append(results)
-                results = windows[0]
+                with _deadline(600):
+                    results = driver.run_kernel(kernel, cfg, iters=50,
+                                                trials=3, quiet=True,
+                                                min_delta=20e-3)
                 ok = [r for r in results if r.ok and not r.fast_math]
                 exact_failures += [
                     f"{kernel}:{r.variant}" for r in results
@@ -189,11 +183,27 @@ def main() -> int:
                 ]
                 if ok:
                     best = _best(ok, PRODUCTION_CHAMPIONS.get(kernel))
-                    win_us = sorted(
-                        next((r.seconds_per_call * 1e6 for r in w
-                              if r.variant == best.variant and r.ok),
-                             float("inf"))
-                        for w in windows)
+                    win_us = [best.seconds_per_call * 1e6]
+                    # noisy legs (NOISY_LEG_WINDOWS): re-time the CHAMPION
+                    # only in N-1 extra windows and record the MEDIAN, so
+                    # back-to-back runs of identical code land inside
+                    # each other's recorded spread (VERDICT r4 weak #5);
+                    # a failed extra window gates instead of poisoning
+                    # the median with inf
+                    for _ in range(NOISY_LEG_WINDOWS.get(kernel, 1) - 1):
+                        with _deadline(600):
+                            extra = driver.run_kernel(
+                                kernel, cfg, variants=[best.variant],
+                                iters=50, trials=3, quiet=True,
+                                min_delta=20e-3)
+                        r = next((r for r in extra
+                                  if r.variant == best.variant), None)
+                        if r is None or not r.ok:
+                            exact_failures.append(
+                                f"{kernel}:{best.variant}:window")
+                            continue
+                        win_us.append(r.seconds_per_call * 1e6)
+                    win_us.sort()
                     med_win = win_us[len(win_us) // 2]
                     legs[kernel] = {
                         "variant": best.variant,
@@ -201,7 +211,7 @@ def main() -> int:
                         "gpts_per_s": round(
                             spec.grid_points(cfg) / (med_win * 1e-6), 0),
                         **({"windows_us": [round(w, 3) for w in win_us]}
-                           if n_win > 1 else {}),
+                           if len(win_us) > 1 else {}),
                         **_leg_band_us(best),
                     }
                     extra_lines.append(
@@ -332,9 +342,8 @@ def main() -> int:
         dlegs = []
     for d in dlegs:
         if not d.ok:
-            err(f"[bench] dist {d.family}: {d.path} "
-                f"{'VERIFY FAILED err=%.3e' % d.err if d.note == ''
-                   else d.note}")
+            why = d.note or f"VERIFY FAILED err={d.err:.3e}"
+            err(f"[bench] dist {d.family}: {d.path} {why}")
             exact_failures.append(f"dist:{d.family}:{d.path}")
             continue
         dist_rows[d.family] = {

@@ -748,7 +748,8 @@ def make_dist_loop_dss2d_rowchain_kstep(cfg, mesh: Mesh, kstep: int = 4):
 
 
 def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
-                             precision: str | None = None):
+                             precision: str | None = None,
+                             split: bool = True):
     """Communication-avoiding dist DSS loop: exchange B halo GROUPS once
     per kstep in-kernel steps (ring ppermute over shards — the element
     ring is globally periodic, so the permutation wraps), then run the
@@ -761,8 +762,20 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
     HBM round trip happens once per kstep steps instead of per step.
 
     Returns (shard_inputs, loop, gather): shard_inputs(data) ->
-    (q_g (eg, gn, ncol) grouped + sharded, aux=(lbd, w2)); loop(q_g, aux,
-    n) with n % kstep == 0; gather back to qtens."""
+    (q_g grouped + sharded, aux=(lbd, w2)); loop(q_g, aux, n) with
+    n % kstep == 0; gather back to qtens.  TRAVEL LAYOUT: q_g and the
+    loop output carry (eg, gn, ncolp) with ncolp = ceil(ncol/128)*128 —
+    LANE-PADDED, one pad at shard_inputs instead of a whole-field
+    pad/slice per chain call (round5-summary §7); gather strips the
+    pad.  Compare shards only through gather (or slice [:ncol]).
+
+    split=True (default) assembles each window from the owned field +
+    tiny per-window halo-strip arrays (apply_dss_resident_windowed_
+    split) — no whole-field _exg concat or B-hg alignment pad per call
+    (was ~1.0 GB HBM traffic/call at production, the entire measured
+    dist-vs-single gap: 587 -> 436 us/step).  split=False keeps the
+    padded-window form (apply_dss_resident_windowed) reachable for
+    A/B, the same convention as the mpdata kloop."""
     import numpy as _np
 
     from cdk_tpu.core.platform import pallas_interpret
@@ -772,6 +785,7 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
         build_element_operator,
     )
     from cdk_tpu.kernels.biharmonic.pallas_dss_resident import (
+        apply_dss_resident_windowed,
         apply_dss_resident_windowed_split,
     )
 
@@ -882,28 +896,41 @@ def make_dist_loop_dss_kstep(cfg, mesh: Mesh, kstep: int = 8,
                            axis=0).reshape(nb, W, gn, gn)
             ww = jnp.take(_exg(w2), idx_w, axis=0).reshape(nb, W * gn, 1)
 
-            def body(q, _):
-                # split-operand window assembly: the ppermuted neighbor
-                # strips + local block tails/heads form tiny per-window
-                # halo arrays, and the owned field IS the aligned center
-                # operand — no whole-field _exg concat or B-hg alignment
-                # pad per call (was ~1.0 GB HBM traffic/call ≈ the whole
-                # measured dist-vs-single gap; round5-summary §7)
-                left = lax.ppermute(q[-hg:], axis, perm_fwd)
-                right = lax.ppermute(q[:hg], axis, perm_bwd)
-                q_r = q.reshape(nb, B * gn, ncolp)
-                hl = jnp.concatenate(
-                    [left.reshape(1, hg * gn, ncolp),
-                     q_r[:-1, -hg * gn:]], axis=0)
-                hr = jnp.concatenate(
-                    [q_r[1:, :hg * gn],
-                     right.reshape(1, hg * gn, ncolp)], axis=0)
-                out = apply_dss_resident_windowed_split(
-                    lw, ww, q.reshape(eg_loc * gn, ncolp), hl, hr, kstep,
-                    b_groups=B, hg=hg, gn=gn, npg=npg,
-                    precision=precision, interpret=interpret, lw2=lw2,
-                )
-                return out.reshape(eg_loc, gn, ncolp), None
+            if split:
+                def body(q, _):
+                    # split-operand window assembly: the ppermuted
+                    # neighbor strips + local block tails/heads form tiny
+                    # per-window halo arrays, and the owned field IS the
+                    # aligned center operand — no whole-field _exg concat
+                    # or B-hg alignment pad per call (was ~1.0 GB HBM
+                    # traffic/call ≈ the whole measured dist-vs-single
+                    # gap; round5-summary §7)
+                    left = lax.ppermute(q[-hg:], axis, perm_fwd)
+                    right = lax.ppermute(q[:hg], axis, perm_bwd)
+                    q_r = q.reshape(nb, B * gn, ncolp)
+                    hl = jnp.concatenate(
+                        [left.reshape(1, hg * gn, ncolp),
+                         q_r[:-1, -hg * gn:]], axis=0)
+                    hr = jnp.concatenate(
+                        [q_r[1:, :hg * gn],
+                         right.reshape(1, hg * gn, ncolp)], axis=0)
+                    out = apply_dss_resident_windowed_split(
+                        lw, ww, q.reshape(eg_loc * gn, ncolp), hl, hr,
+                        kstep, b_groups=B, hg=hg, gn=gn, npg=npg,
+                        precision=precision, interpret=interpret,
+                        lw2=lw2,
+                    )
+                    return out.reshape(eg_loc, gn, ncolp), None
+            else:
+                def body(q, _):
+                    # padded-window A/B form (the round-4 design): pays
+                    # the per-call field concat + alignment pad
+                    out = apply_dss_resident_windowed(
+                        lw, ww, _exg(q), kstep, b_groups=B, hg=hg,
+                        gn=gn, npg=npg, precision=precision,
+                        interpret=interpret, lw2=lw2,
+                    )
+                    return out, None
 
             q_out, _ = lax.scan(body, q_loc, None, length=n // kstep,
                                 unroll=2)

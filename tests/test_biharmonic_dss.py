@@ -318,3 +318,21 @@ def test_dss_resident_loop_carries_padded_no_per_call_pad():
         assert not pads, (
             "whole-field pad inside the scanned chain body — the "
             f"round-5 pad-hoist regressed: {pads}")
+
+
+@pytest.mark.parametrize("ndev", [1, 4])
+def test_dss_dist_kstep_split_matches_padded_window(ndev):
+    """The split-operand kstep loop (round 5) == the padded-window A/B
+    form bitwise: both assemble the identical (B+2hg)-group window for
+    the shared resident kernel — only where the halo bytes come from
+    differs (tiny strip arrays vs a whole-field concat + pad)."""
+    cfg = with_overrides(BiharmonicConfig(), nelemd=32, nlev=4, qsize=2,
+                         dtype="float32")
+    data = problem.init_data(cfg)
+    m = meshmod.make_mesh(ndev)
+    si, loop_s, gather = dist_bi.make_dist_loop_dss_kstep(cfg, m, kstep=8)
+    _, loop_p, _ = dist_bi.make_dist_loop_dss_kstep(cfg, m, kstep=8,
+                                                    split=False)
+    q, aux = si(data)
+    np.testing.assert_array_equal(gather(loop_s(q, aux, 16)),
+                                  gather(loop_p(q, aux, 16)))
