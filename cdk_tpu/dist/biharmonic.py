@@ -539,7 +539,11 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
     if bi_d >= 2:
         for kk in range(2, calls["kmax"] + 1):
             if exl_rows >= kk and step_budget_ok(kk, bi_d, row_b):
-                steps_padded[kk] = calls["stepk_padded_factory"](kk, bi_d)
+                # padded_out: the serial loop carries the halo-padded
+                # layout across the scan (see the padded-carry comment
+                # at the scan site)
+                steps_padded[kk] = calls["stepk_padded_factory"](
+                    kk, bi_d, True)
 
     def _padk_t(t, kk):
         """Pad P_kk element rows per side; the innermost kk carry the
@@ -621,11 +625,35 @@ def make_dist_loop_dss2d_rowchain(cfg, mesh: Mesh, overlap: bool = False):
                 for kk in sorted(steps_padded, reverse=True):
                     if nt >= kk:
                         lrow_p, w2_p = _padk_ops(lsq, w2, kk)
-                        t, _ = lax.scan(
+                        # PADDED-CARRY scan (round 5): carry t in the
+                        # halo-padded layout and refresh ONLY the 2*kk
+                        # halo rows per call (ppermute of the center
+                        # edges + two small row writes) — the previous
+                        # form rebuilt the whole (exl+2P)-row array via
+                        # _padk_t's concat every call (~270 MB at
+                        # production kk=4).  The kernel writes its owned
+                        # rows into the same padded shape (padded_out);
+                        # halo rows left unwritten are always refreshed
+                        # before the next read.
+                        PL, kL = bi_d * (-(-kk // bi_d)) * L, kk * L
+
+                        def refresh(tp, kL=kL, PL=PL):
+                            up = lax.ppermute(
+                                tp[PL + exl * L - kL:PL + exl * L],
+                                axis, perm_fwd)
+                            dn = lax.ppermute(tp[PL:PL + kL], axis,
+                                              perm_bwd)
+                            tp = lax.dynamic_update_slice_in_dim(
+                                tp, up, PL - kL, 0)
+                            return lax.dynamic_update_slice_in_dim(
+                                tp, dn, PL + exl * L, 0)
+
+                        tp, _ = lax.scan(
                             lambda tt, _, s=steps_padded[kk], lp=lrow_p,
-                            wp=w2_p, k=kk: (s(lp, wp, _padk_t(tt, k)),
-                                            None),
-                            t, None, length=nt // kk)
+                            wp=w2_p: (s(lp, wp, refresh(tt)), None),
+                            _padk_t(t, kk), None, length=nt // kk,
+                            unroll=2)
+                        t = tp[PL:PL + exl * L]
                         nt %= kk
             if nt:
                 t, _ = lax.scan(

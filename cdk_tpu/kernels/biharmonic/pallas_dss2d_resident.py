@@ -738,7 +738,7 @@ def _rowchain_calls(cfg, precision, interpret, precomposed=False):
 
         return call
 
-    def stepk_padded_factory(kk, bi_d):
+    def stepk_padded_factory(kk, bi_d, padded_out=False):
         """Padded k-step for the dist loop: t padded with
         P = bi_d·ceil(kk/bi_d) rows per side (innermost kk valid,
         ppermuted), lrow/w2 padded likewise with the innermost kk-1 rows
@@ -746,7 +746,13 @@ def _rowchain_calls(cfg, precision, interpret, precomposed=False):
         operators).  P keeps the center blocks aligned to bi_d-row block
         units; the outer pad rows are zeros and never read.  Index maps
         are offset, not mod — the torus wrap rides the ppermute like the
-        other *_padded entry points."""
+        other *_padded entry points.
+
+        padded_out=True writes the owned rows INTO the same padded
+        ((exl+2P)*L, ncol) shape (halo rows left unwritten) so the dist
+        loop can CARRY the padded layout and refresh only the 2*kk halo
+        rows per call — removing the whole-field _padk_t concat per call
+        (round-5 padded-carry form; round5-summary §10)."""
         kw_d = dict(kw_step, bi=bi_d, k=kk)
         nl = 2 * (kk - 1) + 1
         cparams = _cparams_for(bi_d, kk)
@@ -781,14 +787,24 @@ def _rowchain_calls(cfg, precision, interpret, precomposed=False):
                                 memory_space=pltpu.VMEM)]
                 + [trow(bi_d + o) for o in range(kk)]
             )
+            if padded_out:
+                out_shape = jax.ShapeDtypeStruct(
+                    ((exl + 2 * P) * L, ncol), tp.dtype)
+                out_spec = pl.BlockSpec((bi_d * L, ncol_blk),
+                                        lambda i, c: (i + pn, c),
+                                        memory_space=pltpu.VMEM)
+            else:
+                out_shape = jax.ShapeDtypeStruct((exl * L, ncol),
+                                                 tp.dtype)
+                out_spec = pl.BlockSpec((bi_d * L, ncol_blk),
+                                        lambda i, c: (i, c),
+                                        memory_space=pltpu.VMEM)
             return pl.pallas_call(
                 functools.partial(_rowchain_stepk_blocked_kernel, **kw_d),
-                out_shape=jax.ShapeDtypeStruct((exl * L, ncol), tp.dtype),
+                out_shape=out_shape,
                 grid=(exl // bi_d, ncol // ncol_blk),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((bi_d * L, ncol_blk),
-                                       lambda i, c: (i, c),
-                                       memory_space=pltpu.VMEM),
+                out_specs=out_spec,
                 compiler_params=cparams,
                 interpret=interpret,
             )(*([lrow_p] * nl + [wrow_p] * nl + [tp] * (2 * kk + 1)))
@@ -886,7 +902,7 @@ def _rowchain_forms(cfg, precision: str, precomposed: bool = False):
             if nt >= kk:
                 t, _ = jax.lax.scan(
                     lambda tt, _, s=steps_k[kk]: (s(lstep, w2, tt), None),
-                    t, None, length=nt // kk)
+                    t, None, length=nt // kk, unroll=2)
                 nt %= kk
         if nt:
             t, _ = jax.lax.scan(
