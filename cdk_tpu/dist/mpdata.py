@@ -825,6 +825,9 @@ def _make_dist_loop_hoisted(cfg, mesh: Mesh, halo: int, kernel: str | None,
             w_ext = _exchange(w_loc, halo, axis, nparts)
 
             if kernel == "xmajor":
+                # the flux travels PACKED through the scan and only the
+                # final step's value survives, so its unpack + psum run
+                # ONCE after the loop instead of per step
                 def body(carry, _):
                     f_l, _flux = carry
                     lh, rh = _exchange_strips(f_l, halo, axis, nparts)
@@ -832,8 +835,16 @@ def _make_dist_loop_hoisted(cfg, mesh: Mesh, halo: int, kernel: str | None,
                         f_l, lh, rh, u_ext, w_ext, rho, rhow, adz, gi0,
                         nx=nx, nzm=nzm, halo=halo, interpret=interpret,
                     )
-                    flux = lax.psum(px.unpack2x(flux_p, nsl, nzm), axis)
-                    return (f_o, flux), None
+                    return (f_o, flux_p), None
+
+                fp0 = jnp.zeros(f_loc.shape[:1] + f_loc.shape[2:],
+                                f_loc.dtype)
+                (f_o, flux_p), _ = lax.scan(
+                    body, (f_loc, fp0), None, length=n, unroll=unroll)
+                flux = lax.psum(px.unpack2x(flux_p, nsl, nzm), axis)
+                flux_out = jnp.concatenate([flux, flux_in[:, nzm:]],
+                                           axis=-1)
+                return f_o, flux_out
             else:
                 def body(carry, _):
                     f_l, _flux = carry
