@@ -68,7 +68,15 @@ from cdk_tpu.kernels.biharmonic.problem import (
 # k=16 halves the per-call field round trip AND cuts the bridge applies
 # (k+1)/k; the larger window only pays when k=16's halo (hg=2 groups per
 # side) raises the overcompute it amortizes.
-KMAX = int(os.environ.get("CDK_DSS_KMAX", "16"))
+# Round-5 re-sweep AFTER the pad-hoist/carry-copy fixes shifted the
+# balance deeper (per-call costs shrank, so amortizing the remainder
+# further wins; one window, control re-measured alongside —
+# /tmp probe log committed in round5-summary §11):
+#   KMAX=16 (control)  403.9 us/step      KMAX=64  405.8 (hg=8 window
+#   KMAX=32            394.4  <- default   overcompute takes it back)
+# Driver-verified ok at production (435.1, window noise) and shipped
+# (10.59 — the _pick_k model keeps k=8 on the tiny ring, unchanged).
+KMAX = int(os.environ.get("CDK_DSS_KMAX", "32"))
 
 # Requested scoped-VMEM limit and the geometry predicate budget (probe
 # hooks, same pattern as pallas_dss2d_resident: the predicate under-counts

@@ -269,9 +269,12 @@ def test_resident_pick_k_is_scale_aware():
 
     if KMAX < 16:  # probe env override active; the model has one choice
         pytest.skip("CDK_DSS_KMAX < 16")
-    # production geometry: eg=675 groups of gn=128, ncol 768
-    assert _pick_k(675, 128, 768, 8, 4, True) == 16
-    # shipped geometry: eg=2, ncol 2880 -> 2944 padded
+    # production geometry: eg=675 groups of gn=128, ncol 768 — the model
+    # must take the DEEP chain (the round-5 KMAX=32 default: measured
+    # 394.4 vs 403.9 at k=16 vs 405.8 at k=64, one window)
+    assert _pick_k(675, 128, 768, 8, 4, True) == KMAX
+    # shipped geometry: eg=2, ncol 2880 -> 2944 padded — deep windows
+    # are several rings wide there; the model must stay at k=8
     assert _pick_k(2, 128, 2944, 8, 4, True) == 8
     assert _pick_k(2, 128, 2944, 8, 4, False) == 8
 
