@@ -38,7 +38,8 @@ The JSON line also carries:
                  lived only in hand-run logs and could regress silently)
   "dist"       — the distributed production paths on a 1-device mesh
                  (dist DSS kstep ring, dist dss2d rowchain, dist mpdata
-                 loop, dist cke all_gather loop — harness/distbench.py),
+                 halo loop + slice-batch loop, dist cke all_gather loop
+                 — harness/distbench.py),
                  slope-timed and verified against the same-run production
                  champions; failures set RC!=0 (pre-round-5 these lived
                  only in hand-run probe logs)

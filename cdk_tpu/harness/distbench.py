@@ -184,11 +184,44 @@ def _leg_cke(cfg, m, champ, trials):
     return "allgather_loop", lo, med, hi, float(err), 1e-6
 
 
+def _leg_mpdata_slices(cfg, m, champ, trials):
+    """The slice-batch data-parallel loop — the REFERENCE's own scaling
+    axis (per-node slice batches, zero exchange): each device runs the
+    unmodified single-chip champion kernel on its own slice groups, so
+    this leg gates 'dist form == champion' at ratio ~1.0 by design."""
+    from cdk_tpu.core.norms import rel_l1
+    from cdk_tpu.dist import mpdata as dist_mp
+    from cdk_tpu.kernels.mpdata import problem
+
+    data = problem.init_data(cfg)
+    si, loop, (gather_f, gather_flux) = dist_mp.make_dist_loop_slices(
+        cfg, m)
+    args = si(data)
+
+    def run_n(n):
+        from cdk_tpu.core.timer import fetch_sync
+        out = loop(*args, n)
+        fetch_sync(out)
+        return out
+
+    nv = 3
+    f_d, flux_d = loop(*args, nv)
+    f_r, flux_r = _champion_loop("mpdata", champ, cfg, data)(data, nv)
+    err = max(rel_l1(gather_f(f_d)[:, :, :cfg.nzm], np.asarray(f_r)),
+              rel_l1(gather_flux(flux_d), np.asarray(flux_r)))
+    lo, med, hi = _slope_loop(run_n, 20, 120, trials)
+    return "slice_batch_loop", lo, med, hi, float(err), 1e-5
+
+
+# leg name -> (kernel family, builder).  The slice-batch mpdata leg is
+# a second dist formulation of the same family (zero-exchange data
+# parallelism — the reference's own scaling axis).
 LEGS = {
-    "mpdata": _leg_mpdata,
-    "biharmonic_dss": _leg_dss,
-    "biharmonic_dss2d": _leg_dss2d,
-    "cke": _leg_cke,
+    "mpdata": ("mpdata", _leg_mpdata),
+    "mpdata_slices": ("mpdata", _leg_mpdata_slices),
+    "biharmonic_dss": ("biharmonic_dss", _leg_dss),
+    "biharmonic_dss2d": ("biharmonic_dss2d", _leg_dss2d),
+    "cke": ("cke", _leg_cke),
     # plain biharmonic is deliberately absent: element-sharded it has NO
     # exchange (the DSS-free kernel is embarrassingly parallel), so its
     # "dist" number is the single-chip kernel under shard_map — nothing a
@@ -213,12 +246,12 @@ def run_dist_legs(champions: dict, production: bool = True,
     say = (lambda *a: None) if quiet else print
     m = meshmod.make_mesh(1)
     results = []
-    for family, build in LEGS.items():
+    for leg, (family, build) in LEGS.items():
         spec = get_spec(family)
         if configs is not None:
-            if family not in configs:
-                continue  # explicit config set = explicit family set
-            cfg = configs[family]
+            if leg not in configs:
+                continue  # explicit config set = explicit leg set
+            cfg = configs[leg]
         else:
             cfg = (production_config(family) if production
                    else with_overrides(spec.default_config(),
@@ -228,17 +261,17 @@ def run_dist_legs(champions: dict, production: bool = True,
                                                 trials)
         except Exception as e:  # a crashed leg must gate, not kill, bench
             results.append(DistLegResult(
-                family, "<error>", 0.0, 0.0, 0.0, 0.0, 0.0,
+                leg, "<error>", 0.0, 0.0, 0.0, 0.0, 0.0,
                 float("nan"), 0.0, False,
                 note=f"{type(e).__name__}: {e}"))
-            say(f"[dist] {family:<16s} ERROR {type(e).__name__}: {e}")
+            say(f"[dist] {leg:<16s} ERROR {type(e).__name__}: {e}")
             continue
         ok = bool(np.isfinite(err) and err < tol)
         results.append(DistLegResult(
-            family, path, med, lo, med, hi,
+            leg, path, med, lo, med, hi,
             spec.grid_points(cfg) / med, err, tol, ok,
         ))
-        say(f"[dist] {family:<16s} {path:<24s} {med * 1e6:9.2f} us/step "
+        say(f"[dist] {leg:<16s} {path:<24s} {med * 1e6:9.2f} us/step "
             f"{spec.grid_points(cfg) / med / 1e9:7.2f} G pts/s "
             f"err={err:.2e} (tol {tol:g}) {'ok' if ok else 'VERIFY FAILED'}")
     return results

@@ -223,6 +223,8 @@ def test_dist_bench_legs_run_and_verify():
     configs = {
         "mpdata": with_overrides(MpdataConfig(), nslices=16, nx=16, nz=12,
                                  dtype="float32"),
+        "mpdata_slices": with_overrides(MpdataConfig(), nslices=16, nx=16,
+                                        nz=12, dtype="float32"),
         "biharmonic_dss": with_overrides(BiharmonicConfig(), nelemd=16,
                                          nlev=4, qsize=2, dtype="float32"),
         "biharmonic_dss2d": with_overrides(BiharmonicConfig(), nelemd=16,
@@ -232,7 +234,7 @@ def test_dist_bench_legs_run_and_verify():
                               nvertlevels=20, dtype="float32"),
     }
     res = run_dist_legs(champs, trials=1, quiet=True, configs=configs)
-    assert {r.family for r in res} == set(champs)
+    assert {r.family for r in res} == set(configs)
     for r in res:
         assert r.ok, (r.family, r.err, r.note)
         assert math.isfinite(r.seconds_per_call) and r.seconds_per_call > 0
